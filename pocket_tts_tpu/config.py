@@ -1,0 +1,165 @@
+"""Model hyper-parameter configuration.
+
+Mirrors the reference's hard-coded config (`/root/reference/src/config.h:53-87`
+and `/root/reference/src/pocket_tts/models/defaults.h:3-122`), expressed as
+dataclasses so tests can instantiate tiny variants.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    """Flow-matching MLP (SimpleMLPAdaLN). ref: src/config.h:3-6."""
+    depth: int = 6
+    dim: int = 512
+    # frequency-embedding half-size of the TimestepEmbedder; the reference
+    # infers this from the checkpoint's `freqs` tensor (src/pocket_tts/modules/mlp.h:86).
+    freq_half: int = 128
+    # hidden width of each ResBlock MLP; inferred from checkpoint in practice.
+    mlp_hidden: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    """FlowLM streaming transformer. ref: src/config.h:8-14."""
+    d_model: int = 1024
+    hidden_scale: int = 4
+    max_period: int = 10000
+    num_heads: int = 16
+    num_layers: int = 6
+    # KV capacity; the reference allocates seq-len 1000 states
+    # (src/pocket_tts.cpp:367-368).
+    kv_capacity: int = 1000
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+    @property
+    def hidden_dim(self) -> int:
+        return self.d_model * self.hidden_scale
+
+
+@dataclasses.dataclass(frozen=True)
+class LookupTableConfig:
+    """Text conditioner. ref: src/config.h:16-21."""
+    dim: int = 1024
+    n_bins: int = 4000
+    tokenizer: str = "sentencepiece"
+    tokenizer_path: str = "tokenizer.model"
+
+
+@dataclasses.dataclass(frozen=True)
+class MimiTransformerConfig:
+    """Mimi decoder transformer. ref: src/pocket_tts/models/defaults.h:3-42."""
+    d_model: int = 512
+    num_heads: int = 8
+    num_layers: int = 2
+    hidden_dim: int = 2048
+    context: int = 250
+    capacity: int = 250
+    max_period: int = 10000
+    # eps=0 LayerNorm (defaults.h:14,32)
+    norm_eps: float = 0.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class SeanetStage:
+    """One (conv-transpose, resnet) upsampling stage of the SEANet decoder."""
+    in_ch: int
+    out_ch: int
+    kernel: int
+    stride: int
+
+
+@dataclasses.dataclass(frozen=True)
+class SeanetConfig:
+    """SEANet decoder. ref: src/pocket_tts/models/defaults.h:44-122."""
+    in_ch: int = 512
+    first_kernel: int = 7           # model.0: conv k7 s1
+    stages: tuple = (
+        SeanetStage(512, 256, 12, 6),   # model.2
+        SeanetStage(256, 128, 10, 5),   # model.5
+        SeanetStage(128, 64, 8, 4),     # model.8
+    )
+    resnet_kernel: int = 3          # block.1 conv k3 s1 (channels halved)
+    last_kernel: int = 3            # model.11: conv k3 s1 -> 1 channel
+    out_ch: int = 1
+
+    @property
+    def total_stride(self) -> int:
+        s = 1
+        for st in self.stages:
+            s *= st.stride
+        return s
+
+
+@dataclasses.dataclass(frozen=True)
+class MimiConfig:
+    """Mimi decode chain. ref: src/config.h:30-46, models/mimi.h:10-28."""
+    sample_rate: int = 24000
+    channels: int = 1
+    frame_rate: float = 12.5
+    latent_dim: int = 32            # quantizer.dimension
+    dim: int = 512                  # quantizer.output_dimension
+    upsample_kernel: int = 32       # depthwise convtr k32 s16 groups=512
+    upsample_stride: int = 16
+    transformer: MimiTransformerConfig = MimiTransformerConfig()
+    seanet: SeanetConfig = SeanetConfig()
+
+    @property
+    def frame_size(self) -> int:
+        # 16 * (6*5*4) = 1920 samples / 80ms frame
+        return self.upsample_stride * self.seanet.total_stride
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Full pocket-tts model configuration (reference defaults)."""
+    flow: FlowConfig = FlowConfig()
+    backbone: BackboneConfig = BackboneConfig()
+    lut: LookupTableConfig = LookupTableConfig()
+    mimi: MimiConfig = MimiConfig()
+    latent_dim: int = 32
+    eos_threshold: float = -4.0     # ref: models/flow_lm.h:94
+    # GELU flavour: "erf" matches the original Python model (torch F.gelu
+    # default); the ggml reference uses the tanh approximation
+    # (torch.h / ggml_gelu). Configurable for A/B numerics.
+    gelu_approx: bool = False
+
+
+def tiny_config(seed_dims: int = 16) -> ModelConfig:
+    """A miniature config for fast CPU tests; same topology, tiny dims."""
+    d = seed_dims  # 16
+    return ModelConfig(
+        flow=FlowConfig(depth=2, dim=2 * d, freq_half=8, mlp_hidden=2 * d),
+        backbone=BackboneConfig(
+            d_model=4 * d, hidden_scale=2, num_heads=4, num_layers=2,
+            kv_capacity=128),
+        lut=LookupTableConfig(dim=4 * d, n_bins=256),
+        mimi=MimiConfig(
+            latent_dim=8, dim=2 * d,
+            transformer=MimiTransformerConfig(
+                d_model=2 * d, num_heads=2, num_layers=2, hidden_dim=4 * d,
+                context=40, capacity=40),
+            seanet=SeanetConfig(
+                in_ch=2 * d,
+                stages=(
+                    SeanetStage(2 * d, d, 12, 6),
+                    SeanetStage(d, d // 2, 10, 5),
+                    SeanetStage(d // 2, d // 4, 8, 4),
+                ),
+            ),
+        ),
+        latent_dim=8,
+    )
+
+
+DEFAULT_CONFIG = ModelConfig()

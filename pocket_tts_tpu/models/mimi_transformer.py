@@ -1,0 +1,81 @@
+"""Mimi decoder transformer: 2 layers, d=512, 8 heads, ring-buffer KV cache
+(context = capacity = 250), eps=0 LayerNorm, LayerScale on both branches.
+
+ref: /root/reference/src/pocket_tts/modules/mimi_transformer.h (layer
+:912-973, ring cache :149-287, stack :1184-1217) and the defaults at
+models/defaults.h:3-42. The reference's hand-rolled cached-graph runtime
+(:1219-1331) is unnecessary here — jax.jit compiles the step once.
+
+Params (layers stacked on axis 0):
+  layers: {norm1 {scale,bias}, in_proj {w}, out_proj {w},
+           layer_scale_1 {scale (d,)}, norm2 {scale,bias},
+           linear1 {w,b?}, linear2 {w,b?}, layer_scale_2 {scale}}
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import MimiTransformerConfig
+from ..ops.attention import cache_insert_ring, ring_cache_bias, sdpa
+from ..ops.basic import gelu, layer_norm, linear
+from ..ops.rope import apply_rope, rope_cos_sin
+
+
+@struct.dataclass
+class MimiTransformerState:
+    k: jax.Array      # (L, cap, H, Dh)
+    v: jax.Array      # (L, cap, H, Dh)
+    offset: jax.Array  # () int32 — total timesteps seen
+
+
+def init_state(cfg: MimiTransformerConfig, dtype=jnp.float32):
+    shape = (cfg.num_layers, cfg.capacity, cfg.num_heads, cfg.head_dim)
+    return MimiTransformerState(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        offset=jnp.zeros((), jnp.int32),
+    )
+
+
+def _layer(p, x, k_cache, v_cache, offset, cos, sin, bias, cfg,
+           gelu_approx: bool):
+    t, dm = x.shape
+    h = layer_norm(p["norm1"], x, eps=cfg.norm_eps)
+    qkv = linear(p["in_proj"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(t, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(t, cfg.num_heads, cfg.head_dim)
+    v = v.reshape(t, cfg.num_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    k_cache = cache_insert_ring(k_cache, k, offset)
+    v_cache = cache_insert_ring(v_cache, v, offset)
+    attn = sdpa(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), bias)
+    x = x + p["layer_scale_1"]["scale"] * linear(p["out_proj"],
+                                                 attn.reshape(t, dm))
+    h = layer_norm(p["norm2"], x, eps=cfg.norm_eps)
+    up = linear(p["linear2"], gelu(linear(p["linear1"], h), gelu_approx))
+    x = x + p["layer_scale_2"]["scale"] * up
+    return x, k_cache, v_cache
+
+
+def forward(p, cfg: MimiTransformerConfig, state: MimiTransformerState, x,
+            gelu_approx: bool = False):
+    """x: (T, d_model) -> (new_state, y). Advances offset by T
+    (ref: mimi_transformer.h:1214)."""
+    t = x.shape[0]
+    positions = state.offset + jnp.arange(t, dtype=jnp.int32)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.max_period)
+    bias = ring_cache_bias(t, cfg.capacity, state.offset, cfg.context)
+
+    def body(x, xs):
+        layer_p, k_cache, v_cache = xs
+        x, k_cache, v_cache = _layer(layer_p, x, k_cache, v_cache,
+                                     state.offset, cos, sin, bias, cfg,
+                                     gelu_approx)
+        return x, (k_cache, v_cache)
+
+    y, (k_new, v_new) = jax.lax.scan(body, x, (p["layers"], state.k, state.v))
+    return state.replace(k=k_new, v=v_new, offset=state.offset + t), y

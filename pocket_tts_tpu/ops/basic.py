@@ -1,0 +1,86 @@
+"""Elementary pure ops: linear layers and norms.
+
+These replace the reference's torch-compat layer (`/root/reference/src/torch.h`)
+with plain jnp functions. Parameters are dicts:
+  linear: {"w": (in, out), "b": (out,) optional}   # torch (out,in) transposed at load
+  norm:   {"scale": (d,), "bias": (d,) optional}
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(p, x):
+    """y = x @ w + b.  ref: torch_nn_linear, src/torch.h:79-87."""
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    b = p.get("b")
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype)
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    """LayerNorm over the last axis.
+
+    Matches ggml_norm semantics (mean/var over last dim, divisor n, eps inside
+    sqrt) used by torch_nn_layer_norm (src/torch.h:49-60). eps may be 0 for the
+    mimi decoder transformer (models/defaults.h:14,32).
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    if p is not None:
+        scale = p.get("scale")
+        if scale is not None:
+            y = y * scale.astype(jnp.float32)
+        bias = p.get("bias")
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rms_norm(p, x, eps: float = 1e-8):
+    """Plain RMSNorm (moshi_rms_norm, src/pocket_tts/modules/mimi_transformer.h:15-23)."""
+    x32 = x.astype(jnp.float32)
+    ms = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(ms + eps)
+    return (y * p["alpha"].astype(jnp.float32)).astype(x.dtype)
+
+
+def mlp_std_norm(p, x, eps: float = 1e-5):
+    """The flow net's quirky "RMSNorm": divides x (NOT mean-subtracted) by the
+    (n-1)-divisor standard deviation of x.
+
+    ref: mlp_rms_norm, src/pocket_tts/modules/mlp.h:18-37 — mean is computed,
+    variance = sum((x-mean)^2)/(n-1), output = alpha * x / sqrt(var + eps).
+    """
+    x32 = x.astype(jnp.float32)
+    n = x32.shape[-1]
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.sum(xc * xc, axis=-1, keepdims=True) / (n - 1)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    return (y * p["alpha"].astype(jnp.float32)).astype(x.dtype)
+
+
+def gelu(x, approx: bool = False):
+    """GELU. approx=True is the tanh flavour ggml uses; False (erf) matches the
+    original torch model (F.gelu default)."""
+    return jax.nn.gelu(x, approximate=approx)
+
+
+def elu(x):
+    """ELU(alpha=1) — SEANet activation (ggml_elu)."""
+    return jnp.where(x > 0, x, jnp.expm1(jnp.minimum(x, 0.0)))
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def modulate(x, shift, scale):
+    """adaLN modulation: x * (1 + scale) + shift. ref: mlp_modulate, mlp.h:3-9."""
+    return x * (1.0 + scale) + shift

@@ -1,0 +1,230 @@
+"""TTSEngine: model + jitted functions + host-side orchestration.
+
+Python-surface equivalent of the reference C API
+(`include/pocket_tts/pocket_tts.h:18-42`):
+
+  ptts_init                  -> TTSEngine(model_path| params)
+  ptts_set_seed/get_seed     -> engine.set_seed / engine.seed
+  ptts_get_sample_rate/frame -> engine.sample_rate / engine.frame_size
+  ptts_stream_from_safetensors -> engine.open_stream(voice, temp)
+  generate_audio(_to_wav)    -> engine.synthesize(_to_wav)  [scan decode]
+
+Variable-length conditioning is padded to shape buckets so jit compiles a
+bounded set of programs (the reference rebuilds a ggml graph per shape every
+step; XLA can't and shouldn't — SURVEY.md §7 hard part 1).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, DEFAULT_CONFIG
+from ..io import params as params_io
+from ..models import backbone, mimi, tts
+from ..text.preprocess import (StrProcessor, count_words,
+                               prepare_text_prompt,
+                               split_into_best_sentences)
+from ..text.tokenizer import load_tokenizer
+
+# ref: src/pocket_tts.cpp:241-250
+DEFAULT_VOICES = ["alba", "azelma", "cosette", "eponine", "fantine",
+                  "javert", "jean", "marius"]
+
+_TOKEN_BUCKETS = (16, 32, 64, 128, 256)
+_PROMPT_BUCKET = 128
+_SCAN_BUCKET = 25  # frames (2 s of audio) granularity for offline scan
+
+
+def _bucket(n: int, buckets=_TOKEN_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"conditioning too long: {n} tokens (max {buckets[-1]})")
+
+
+class TTSEngine:
+    def __init__(self, model_path: Optional[str] = None,
+                 params: Optional[dict] = None,
+                 cfg: Optional[ModelConfig] = None,
+                 dtype=jnp.float32, seed: int = 0,
+                 tokenizer=None):
+        """Load weights (ptts_init analog, src/pocket_tts.cpp:273-322)."""
+        self.model_path = model_path
+        if params is None:
+            ckpt = os.path.join(model_path or ".",
+                                "tts_b6369a24.safetensors")
+            params, cfg = params_io.load_checkpoint(ckpt, cfg, dtype)
+        assert cfg is not None
+        self.params = params
+        self.cfg = cfg
+        self.dtype = dtype
+        self.seed = seed
+        self._key = jax.random.PRNGKey(seed)
+        self._sentence_counter = 0
+        if tokenizer is None:
+            tok_path = os.path.join(model_path or ".",
+                                    cfg.lut.tokenizer_path)
+            tokenizer = load_tokenizer(tok_path, cfg.lut.n_bins)
+        self.tokenizer = tokenizer
+        self._mimi_template = mimi.init_state(cfg.mimi, dtype)
+
+    # -- identity ----------------------------------------------------------
+    @property
+    def sample_rate(self) -> int:
+        return self.cfg.mimi.sample_rate
+
+    @property
+    def frame_size(self) -> int:
+        return self.cfg.mimi.frame_size
+
+    def set_seed(self, seed: int):
+        self.seed = seed
+        self._key = jax.random.PRNGKey(seed)
+        self._sentence_counter = 0
+
+    def _next_rng(self):
+        self._sentence_counter += 1
+        return jax.random.fold_in(self._key, self._sentence_counter)
+
+    # -- conditioning ------------------------------------------------------
+    def prime_voice(self, voice) -> backbone.BackboneState:
+        """Build the reusable voice-conditioned KV prefix.
+
+        voice: a default-voice name, a path to a voice .safetensors, or an
+        (Tp, d_model) array. ref: src/pocket_tts.cpp:100-124,351-394.
+        """
+        if isinstance(voice, str):
+            if voice in DEFAULT_VOICES:
+                voice = os.path.join(self.model_path or ".", "embeddings",
+                                     voice + ".safetensors")
+            prompt = params_io.load_voice(voice, self.dtype)
+        else:
+            prompt = jnp.asarray(voice, self.dtype)
+        n = prompt.shape[0]
+        cap = self.cfg.backbone.kv_capacity
+        step = min(_PROMPT_BUCKET, max(16, cap // 8))
+        tp = _bucket(n, tuple(range(step, cap + 1, step)))
+        prompt = jnp.pad(prompt, ((0, tp - n), (0, 0)))
+        state = backbone.init_state(self.cfg.backbone, self.dtype)
+        return tts.jit_prime_voice(self.params, self.cfg, state, prompt,
+                                   jnp.int32(n))
+
+    def _prefill_sentence(self, voice_state, text: str) -> tts.StreamState:
+        ids = self.tokenizer.encode(text)
+        n = len(ids)
+        tp = _bucket(n)
+        tokens = jnp.asarray(np.pad(np.asarray(ids, np.int32), (0, tp - n)))
+        return tts.jit_sentence_prefill(
+            self.params, self.cfg, voice_state, self._mimi_template, tokens,
+            jnp.int32(n))
+
+    # -- streaming ---------------------------------------------------------
+    def open_stream(self, voice, temp: float = 0.7) -> "Stream":
+        return Stream(self, self.prime_voice(voice), temp)
+
+    # -- offline (scan) ----------------------------------------------------
+    def synthesize_sentence(self, voice_state, text: str, temp: float,
+                            frames_after_eos: int) -> np.ndarray:
+        """One prepared sentence -> PCM float array, fully on device."""
+        state = self._prefill_sentence(voice_state, text)
+        max_steps = int((count_words(text) + 2.0) * self.cfg.mimi.frame_rate)
+        scan_len = -(-max_steps // _SCAN_BUCKET) * _SCAN_BUCKET
+        _, pcm, valid = tts.jit_decode_sentence(
+            self.params, self.cfg, state, self._next_rng(),
+            jnp.asarray(temp, self.dtype), jnp.int32(frames_after_eos),
+            jnp.int32(max_steps), scan_len)
+        pcm = np.asarray(pcm)
+        n = int(np.asarray(valid).sum())
+        return pcm[:n].reshape(-1)
+
+    def synthesize(self, text: str, voice, temp: float = 0.7) -> np.ndarray:
+        """Multi-sentence offline synthesis.
+        ref: generate_audio, src/pocket_tts.cpp:189-213."""
+        voice_state = voice if isinstance(voice, backbone.BackboneState) \
+            else self.prime_voice(voice)
+        chunks = split_into_best_sentences(self.tokenizer, text)
+        out = []
+        for chunk in chunks:
+            prepared, guess = prepare_text_prompt(chunk)
+            out.append(self.synthesize_sentence(
+                voice_state, prepared, temp, guess + 2))
+        return np.concatenate(out) if out else np.zeros(0, np.float32)
+
+    def synthesize_to_wav(self, text: str, voice, path: str,
+                          temp: float = 0.7):
+        from ..io.wav import save_wav
+        pcm = self.synthesize(text, voice, temp)
+        save_wav(path, pcm, self.sample_rate)
+        return pcm
+
+
+class Stream:
+    """Streaming send/flush/receive state machine.
+    ref: ptts_stream_*, src/pocket_tts.cpp:333-519."""
+
+    def __init__(self, engine: TTSEngine, voice_state, temp: float):
+        self.engine = engine
+        self.voice_state = voice_state
+        self.temp = temp
+        self.sproc = StrProcessor()
+        self.reset()
+
+    def reset(self):
+        self.state: Optional[tts.StreamState] = None
+        self.max_gen_len = 0
+        self._rng = None
+        self._frames_after_eos = 0
+        self.sproc.reset()
+
+    def send(self, chunk: str):
+        """Empty chunk flushes (ref: src/pocket_tts.cpp:406-414)."""
+        if chunk == "":
+            self.flush()
+        else:
+            self.sproc.ingest(chunk)
+
+    def flush(self):
+        self.sproc.flush()
+
+    def _sentence_init(self, text: str, frames_after_eos: int):
+        eng = self.engine
+        self.state = eng._prefill_sentence(self.voice_state, text)
+        self.max_gen_len = int((count_words(text) + 2.0)
+                               * eng.cfg.mimi.frame_rate)
+        self._frames_after_eos = frames_after_eos
+        self._rng = eng._next_rng()
+        self._nstep = 0
+
+    def _step(self) -> Optional[np.ndarray]:
+        eng = self.engine
+        rng = jax.random.fold_in(self._rng, self._nstep)
+        self._nstep += 1
+        self.state, pcm, valid = tts.jit_frame_step(
+            eng.params, eng.cfg, self.state, rng,
+            jnp.asarray(self.temp, eng.dtype),
+            jnp.int32(self._frames_after_eos), jnp.int32(self.max_gen_len))
+        if not bool(valid):
+            self.state = None
+            return None
+        return np.asarray(pcm)
+
+    def receive(self) -> Optional[np.ndarray]:
+        """Next 80 ms PCM frame, or None if no audio is ready.
+        ref: ptts_stream_receive, src/pocket_tts.cpp:494-519."""
+        if self.state is not None:
+            pcm = self._step()
+            if pcm is not None:
+                return pcm
+        if self.sproc.sentences:
+            text = self.sproc.sentences.popleft()
+            n_words = count_words(text)
+            guess = (3 if n_words <= 4 else 1) + 2
+            self._sentence_init(text, guess)
+            pcm = self._step()
+            if pcm is not None:
+                return pcm
+        return None

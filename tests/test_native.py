@@ -1,0 +1,95 @@
+"""Native (C++) runtime components vs their pure-Python counterparts."""
+import numpy as np
+import pytest
+
+from pocket_tts_tpu import native
+from pocket_tts_tpu.io.safetensors_io import save_safetensors
+from pocket_tts_tpu.text.preprocess import StrProcessor
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="native lib not built")
+
+
+@needs_native
+class TestNativeSafetensors:
+    def test_matches_python_reader(self, tmp_path):
+        rng = np.random.RandomState(0)
+        tensors = {
+            "a.weight": rng.randn(4, 8).astype(np.float32),
+            "b.bias": rng.randn(16).astype(np.float32),
+            "c.int": np.arange(10, dtype=np.int32),
+        }
+        path = str(tmp_path / "x.safetensors")
+        save_safetensors(tensors, path)
+        loaded = native.load_safetensors_native(path)
+        assert set(loaded) == set(tensors)
+        for k, v in tensors.items():
+            np.testing.assert_array_equal(loaded[k], v)
+
+    def test_bf16(self, tmp_path):
+        import ml_dtypes
+        t = {"x": np.random.randn(3, 3).astype(ml_dtypes.bfloat16)}
+        path = str(tmp_path / "bf.safetensors")
+        save_safetensors(t, path)
+        loaded = native.load_safetensors_native(path)
+        np.testing.assert_array_equal(loaded["x"], t["x"])
+
+    def test_missing_file(self):
+        with pytest.raises(IOError):
+            native.load_safetensors_native("/nonexistent/x.safetensors")
+
+
+@needs_native
+class TestNativeStrProcessor:
+    @pytest.mark.parametrize("text", [
+        "hello world. and then some! more? yes",
+        "  spaces   merge.  caps happen",
+        "wait... what? no",
+        "no punctuation at all",
+    ])
+    def test_matches_python(self, text):
+        py = StrProcessor()
+        nat = native.NativeStrProcessor()
+        # feed in odd-sized chunks to exercise boundary state
+        for i in range(0, len(text), 7):
+            py.ingest(text[i:i + 7])
+            nat.ingest(text[i:i + 7])
+        assert list(py.sentences) == list(nat.sentences)
+        py2, nat2 = StrProcessor(), native.NativeStrProcessor()
+        py2.ingest(text)
+        nat2.ingest(text)
+        py2.flush()
+        nat2.flush()
+        assert list(py2.sentences) == list(nat2.sentences)
+
+
+@needs_native
+class TestNativeWav:
+    def test_roundtrip(self, tmp_path):
+        from pocket_tts_tpu.io.wav import load_wav
+        pcm = (np.sin(np.linspace(0, 50, 2400)) * 0.7).astype(np.float32)
+        path = str(tmp_path / "n.wav")
+        native.wav_write_native(path, pcm, 24000)
+        loaded, sr = load_wav(path)
+        assert sr == 24000
+        np.testing.assert_allclose(loaded / 32767.0, pcm, atol=1e-4)
+
+
+@needs_native
+class TestPcmFifo:
+    def test_push_pop(self):
+        f = native.PcmFifo(100)
+        a = np.arange(60, dtype=np.float32)
+        assert f.push(a) == 60
+        assert len(f) == 60
+        out = f.pop(25)
+        np.testing.assert_array_equal(out, a[:25])
+        assert f.push(np.arange(80, dtype=np.float32)) == 65  # capacity clip
+        assert len(f) == 100
+
+    def test_wraparound(self):
+        f = native.PcmFifo(10)
+        for i in range(7):
+            f.push(np.full(3, i, np.float32))
+            got = f.pop(3)
+            np.testing.assert_array_equal(got, np.full(3, i, np.float32))

@@ -1,0 +1,102 @@
+"""Multi-device tests on the virtual 8-CPU mesh: batched serving, GSPMD
+tensor parallel, and the driver's multichip dryrun."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pocket_tts_tpu.config import tiny_config
+from pocket_tts_tpu.io.params import random_params, random_voice_prompt
+from pocket_tts_tpu.models import backbone, mimi, tts
+from pocket_tts_tpu.parallel.sharding import (make_mesh, shard_params,
+                                              shard_batched_state)
+from pocket_tts_tpu.runtime.batched import (BatchedEngine,
+                                            batched_frame_step,
+                                            batched_prime_voice,
+                                            batched_sentence_prefill,
+                                            stack_states)
+from pocket_tts_tpu.runtime.engine import TTSEngine
+from pocket_tts_tpu.text.tokenizer import MockTokenizer
+
+CFG0 = tiny_config()
+PARAMS, CFG = random_params(CFG0, seed=13)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def _batched_setup(b):
+    prompts = jnp.asarray(np.stack(
+        [random_voice_prompt(CFG, 16, seed=i) for i in range(b)]))
+    vstates = stack_states([backbone.init_state(CFG.backbone)
+                            for _ in range(b)])
+    vstates = batched_prime_voice(PARAMS, CFG, vstates, prompts,
+                                  jnp.full((b,), 16, jnp.int32))
+    tokens = jnp.tile(jnp.arange(12, dtype=jnp.int32)[None], (b, 1))
+    states = batched_sentence_prefill(PARAMS, CFG, vstates,
+                                      mimi.init_state(CFG.mimi), tokens,
+                                      jnp.full((b,), 12, jnp.int32))
+    return states
+
+
+class TestBatched:
+    def test_vmap_matches_single_stream(self):
+        b = 3
+        states = _batched_setup(b)
+        rngs = jnp.stack([jax.random.PRNGKey(i) for i in range(b)])
+        out_states, pcm, valid = batched_frame_step(
+            PARAMS, CFG, states, rngs, jnp.full((b,), 0.7, jnp.float32),
+            jnp.full((b,), 3, jnp.int32), jnp.full((b,), 50, jnp.int32))
+        assert pcm.shape == (b, CFG.mimi.frame_size)
+        # stream 1 computed alone must match its batched result
+        s1 = jax.tree.map(lambda x: x[1], states)
+        _, pcm1, _ = tts.jit_frame_step(
+            PARAMS, CFG, s1, jax.random.PRNGKey(1), jnp.float32(0.7),
+            jnp.int32(3), jnp.int32(50))
+        np.testing.assert_allclose(np.asarray(pcm[1]), np.asarray(pcm1),
+                                   atol=1e-5)
+
+    def test_batched_engine_multi_voice(self):
+        eng = TTSEngine(params=PARAMS, cfg=CFG,
+                        tokenizer=MockTokenizer(CFG.lut.n_bins))
+        be = BatchedEngine(eng)
+        voices = [random_voice_prompt(CFG, 12, seed=i) for i in range(4)]
+        vstates = be.prime_voices(voices)
+        texts = ["Hello there my good friend.",
+                 "A second stream speaks now.",
+                 "Third voice checking in today.",
+                 "Short one."]
+        pcms = be.synthesize_batch(texts, vstates, temp=0.5)
+        assert len(pcms) == 4
+        for pcm in pcms:
+            assert pcm.size % CFG.mimi.frame_size == 0 and pcm.size > 0
+
+
+class TestSharded:
+    def test_tp_dp_step_matches_unsharded(self):
+        b = 4
+        states = _batched_setup(b)
+        rngs = jnp.stack([jax.random.PRNGKey(i) for i in range(b)])
+        args = (jnp.full((b,), 0.7, jnp.float32),
+                jnp.full((b,), 3, jnp.int32), jnp.full((b,), 50, jnp.int32))
+        _, pcm_ref, _ = batched_frame_step(PARAMS, CFG, states, rngs, *args)
+
+        mesh = make_mesh(data=4, model=2)
+        p_sh = shard_params(PARAMS, mesh)
+        st_sh = shard_batched_state(states, mesh)
+        _, pcm_sh, _ = batched_frame_step(p_sh, CFG, st_sh, rngs, *args)
+        np.testing.assert_allclose(np.asarray(pcm_sh), np.asarray(pcm_ref),
+                                   atol=1e-4)
+
+    def test_param_shardings_cover_ffn(self):
+        mesh = make_mesh(data=4, model=2)
+        p_sh = shard_params(PARAMS, mesh)
+        spec = p_sh["layers"]["linear1"]["w"].sharding.spec
+        assert "model" in str(spec)
+
+    def test_dryrun_multichip(self):
+        import sys
+        sys.path.insert(0, ".")
+        import __graft_entry__
+        __graft_entry__.dryrun_multichip(8)
