@@ -5,13 +5,16 @@ Functional re-design of the reference's stateful streaming transformer
 `current_end` become a fixed-shape pytree carry, and the host-built dense
 prefill mask becomes position arithmetic on device.
 
+Slot/position decoupling: KV rows are written at a *batch-uniform* slot
+cursor (`end`, kept unbatched under vmap so inserts stay plain
+dynamic_update_slice — no scatter), while each slot records the *per-stream*
+absolute position it holds (`pos`, -1 = padding/invalid). RoPE and causality
+use positions; padding rows are invalid forever and cost only slots.
+
 Params pytree (layers stacked on axis 0 for lax.scan):
   layers: {norm1 {scale,bias}, in_proj {w (dm, 3dm), b?},
            out_proj {w (dm, dm), b?}, norm2 {scale,bias},
            linear1 {w (dm, hidden), b?}, linear2 {w (hidden, dm), b?}}
-
-State shapes (single stream; batch via vmap):
-  k/v: (L, S, H, Dh); end: () int32 — timesteps written so far.
 """
 from __future__ import annotations
 
@@ -20,24 +23,33 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import BackboneConfig
-from ..ops.attention import (cache_insert_linear, causal_cache_bias, sdpa)
+from ..ops.attention import cache_insert_linear, pos_cache_bias, sdpa
 from ..ops.basic import gelu, layer_norm, linear
 from ..ops.rope import apply_rope, rope_cos_sin
 
 
 @struct.dataclass
 class BackboneState:
-    k: jax.Array   # (L, S, H, Dh)
-    v: jax.Array   # (L, S, H, Dh)
-    end: jax.Array  # () int32
+    # k/v are per-layer tuples (not a stacked (L, ...) array): each layer's
+    # cache is an independent pytree leaf so the per-step
+    # dynamic_update_slice aliases its buffer in place — a stacked array
+    # threaded through a layer-scan would be fully re-materialized (xs slice
+    # + ys stack) every frame, which at batch 32 is GBs of HBM traffic.
+    k: tuple          # L x (S, H, Dh)
+    v: tuple          # L x (S, H, Dh)
+    pos: jax.Array      # (S,) int32 — absolute position per slot, -1 invalid
+    end: jax.Array      # () int32 — next write slot (batch-uniform)
+    next_pos: jax.Array  # () int32 — next absolute position (per-stream)
 
 
 def init_state(cfg: BackboneConfig, dtype=jnp.float32) -> BackboneState:
-    shape = (cfg.num_layers, cfg.kv_capacity, cfg.num_heads, cfg.head_dim)
+    shape = (cfg.kv_capacity, cfg.num_heads, cfg.head_dim)
     return BackboneState(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
+        k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+        v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+        pos=jnp.full((cfg.kv_capacity,), -1, jnp.int32),
         end=jnp.zeros((), jnp.int32),
+        next_pos=jnp.zeros((), jnp.int32),
     )
 
 
@@ -63,32 +75,38 @@ def _layer(p, x, k_cache, v_cache, end, cos, sin, bias, num_heads: int,
     return x, k_cache, v_cache
 
 
-def forward(p, cfg: BackboneConfig, state: BackboneState, x,
+def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
             gelu_approx: bool = False):
-    """Run T new positions through all layers, writing KV at state.end.
+    """Run T new rows through all layers, writing KV at slot state.end.
 
-    x: (T, d_model). Returns (new_state_with_same_end, y (T, d_model)).
-    The caller advances `end` by the number of *valid* positions (padding
-    garbage beyond that is masked by causality and later overwritten) —
-    mirroring the reference's explicit increment_states
-    (src/pocket_tts.cpp:72-98).
+    x: (T, d_model); rows >= n_valid are padding (flagged invalid, masked by
+    every future step). Returns (new_state, y (T, d_model)); the caller
+    advances the cursors with `advance` — mirroring the reference's explicit
+    increment_states (src/pocket_tts.cpp:72-98).
     """
     t = x.shape[0]
-    positions = state.end + jnp.arange(t, dtype=jnp.int32)
+    if n_valid is None:
+        n_valid = t
+    positions = state.next_pos + jnp.arange(t, dtype=jnp.int32)
+    row_pos = jnp.where(jnp.arange(t) < n_valid, positions, -1)
+    pos_vec = jax.lax.dynamic_update_slice(state.pos, row_pos, (state.end,))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.max_period)
-    bias = causal_cache_bias(t, cfg.kv_capacity, state.end)
+    bias = pos_cache_bias(positions, pos_vec)
 
-    def body(x, xs):
-        layer_p, k_cache, v_cache = xs
-        x, k_cache, v_cache = _layer(
-            layer_p, x, k_cache, v_cache, state.end, cos, sin, bias,
+    k_new, v_new = [], []
+    for l in range(cfg.num_layers):
+        layer_p = jax.tree.map(lambda w: w[l], p["layers"])
+        x, k_l, v_l = _layer(
+            layer_p, x, state.k[l], state.v[l], state.end, cos, sin, bias,
             cfg.num_heads, gelu_approx)
-        return x, (k_cache, v_cache)
+        k_new.append(k_l)
+        v_new.append(v_l)
+    return state.replace(k=tuple(k_new), v=tuple(v_new), pos=pos_vec), x
 
-    y, (k_new, v_new) = jax.lax.scan(body, x, (p["layers"], state.k, state.v))
-    return state.replace(k=k_new, v=v_new), y
 
-
-def advance(state: BackboneState, n) -> BackboneState:
-    """end += n. ref: increment_states, transformer.h:51-53,356-361."""
-    return state.replace(end=state.end + jnp.asarray(n, jnp.int32))
+def advance(state: BackboneState, t: int, n_valid) -> BackboneState:
+    """Consume t slots (padded, static) and n_valid positions.
+    ref: increment_states, transformer.h:51-53,356-361."""
+    return state.replace(
+        end=state.end + jnp.asarray(t, jnp.int32),
+        next_pos=state.next_pos + jnp.asarray(n_valid, jnp.int32))

@@ -33,14 +33,15 @@ def embed_tokens(p, tokens):
 
 
 def prefill(p, cfg: ModelConfig, state: backbone.BackboneState, emb, n_valid):
-    """Fill backbone KV with T (padded) conditioning positions; only the
-    first n_valid are real. Advances end by n_valid.
+    """Fill backbone KV with T (padded) conditioning rows; only the first
+    n_valid are real. Padding rows occupy slots but are flagged invalid
+    (position -1) and masked forever.
 
-    emb: (T, d_model). Padding rows write garbage KV beyond end+n_valid which
-    causality masks and the next write overwrites.
+    emb: (T, d_model).
     """
-    state, _ = backbone.forward(p, cfg.backbone, state, emb, cfg.gelu_approx)
-    return backbone.advance(state, n_valid)
+    state, _ = backbone.forward(p, cfg.backbone, state, emb, n_valid,
+                                cfg.gelu_approx)
+    return backbone.advance(state, emb.shape[0], n_valid)
 
 
 def decode_step(p, cfg: ModelConfig, state: backbone.BackboneState,
@@ -53,8 +54,9 @@ def decode_step(p, cfg: ModelConfig, state: backbone.BackboneState,
     Returns (state, latent (latent,), eos (bool scalar)).
     """
     x = linear(p["input_linear"], prev_latent)[None, :]   # (1, d_model)
-    state, h = backbone.forward(p, cfg.backbone, state, x, cfg.gelu_approx)
-    state = backbone.advance(state, 1)
+    state, h = backbone.forward(p, cfg.backbone, state, x, 1,
+                                cfg.gelu_approx)
+    state = backbone.advance(state, 1, 1)
     h = layer_norm(p["out_norm"], h, eps=1e-5)[-1]        # last position
     eos_logit = linear(p["out_eos"], h)[0]
     # ref: sum(out_eos - (-4)) > 0  <=>  logit > eos_threshold

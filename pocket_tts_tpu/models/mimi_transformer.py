@@ -25,16 +25,21 @@ from ..ops.rope import apply_rope, rope_cos_sin
 
 @struct.dataclass
 class MimiTransformerState:
-    k: jax.Array      # (L, cap, H, Dh)
-    v: jax.Array      # (L, cap, H, Dh)
-    offset: jax.Array  # () int32 — total timesteps seen
+    # per-layer tuples — see backbone.BackboneState for the aliasing
+    # rationale
+    # row-major (cap, H, Dh): the ring insert is a row scatter, which only
+    # lowers cleanly on the leading axis; this cache is small (250x512)
+    # so attention-side layout matters little here.
+    k: tuple          # L x (cap, H, Dh)
+    v: tuple          # L x (cap, H, Dh)
+    offset: jax.Array  # () int32 — total timesteps seen (batch-uniform)
 
 
 def init_state(cfg: MimiTransformerConfig, dtype=jnp.float32):
-    shape = (cfg.num_layers, cfg.capacity, cfg.num_heads, cfg.head_dim)
+    shape = (cfg.capacity, cfg.num_heads, cfg.head_dim)
     return MimiTransformerState(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
+        k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+        v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
         offset=jnp.zeros((), jnp.int32),
     )
 
@@ -53,8 +58,8 @@ def _layer(p, x, k_cache, v_cache, offset, cos, sin, bias, cfg,
     k_cache = cache_insert_ring(k_cache, k, offset)
     v_cache = cache_insert_ring(v_cache, v, offset)
     attn = sdpa(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), bias)
-    x = x + p["layer_scale_1"]["scale"] * linear(p["out_proj"],
-                                                 attn.reshape(t, dm))
+    x = x + p["layer_scale_1"]["scale"] * linear(
+        p["out_proj"], attn.reshape(t, dm))
     h = layer_norm(p["norm2"], x, eps=cfg.norm_eps)
     up = linear(p["linear2"], gelu(linear(p["linear1"], h), gelu_approx))
     x = x + p["layer_scale_2"]["scale"] * up
@@ -70,12 +75,12 @@ def forward(p, cfg: MimiTransformerConfig, state: MimiTransformerState, x,
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.max_period)
     bias = ring_cache_bias(t, cfg.capacity, state.offset, cfg.context)
 
-    def body(x, xs):
-        layer_p, k_cache, v_cache = xs
-        x, k_cache, v_cache = _layer(layer_p, x, k_cache, v_cache,
-                                     state.offset, cos, sin, bias, cfg,
-                                     gelu_approx)
-        return x, (k_cache, v_cache)
-
-    y, (k_new, v_new) = jax.lax.scan(body, x, (p["layers"], state.k, state.v))
-    return state.replace(k=k_new, v=v_new, offset=state.offset + t), y
+    k_new, v_new = [], []
+    for l in range(cfg.num_layers):
+        layer_p = jax.tree.map(lambda w: w[l], p["layers"])
+        x, k_l, v_l = _layer(layer_p, x, state.k[l], state.v[l],
+                             state.offset, cos, sin, bias, cfg, gelu_approx)
+        k_new.append(k_l)
+        v_new.append(v_l)
+    return state.replace(k=tuple(k_new), v=tuple(v_new),
+                         offset=state.offset + t), x

@@ -91,30 +91,30 @@ def frame_step(p, cfg: ModelConfig, state: StreamState, rng, temp,
     the backbone runs first; if this step fires EOS for the first time,
     eos_step is recorded; the frame is NOT emitted once
     step >= eos_step + frames_after_eos or step >= max_steps.
+
+    The step is computed unconditionally — finished streams keep advancing
+    on garbage latents with emission masked. This keeps the slot cursor and
+    step counter batch-uniform so batched serving never scatters.
     """
-    noise = jnp.sqrt(temp) * jax.random.normal(
-        rng, state.prev_latent.shape, state.prev_latent.dtype)
+    noise = (jnp.sqrt(jnp.asarray(temp, jnp.float32))
+             * jax.random.normal(rng, state.prev_latent.shape, jnp.float32)
+             ).astype(state.prev_latent.dtype)
 
-    def live(state):
-        fstate, latent, is_eos = flow_lm.decode_step(
-            p, cfg, state.flow, state.prev_latent, noise)
-        eos_step = jnp.where((state.eos_step < 0) & is_eos, state.step,
-                             state.eos_step)
-        stop = ((eos_step >= 0) & (state.step >= eos_step + frames_after_eos)
-                ) | (state.step >= max_steps)
-        mimi_in = flow_lm.denormalize(p, latent)
-        mstate, pcm = mimi.decode_frame(p["mimi"], cfg.mimi, state.mimi,
-                                        mimi_in, cfg.gelu_approx)
-        new = StreamState(
-            flow=fstate, mimi=mstate, prev_latent=latent,
-            eos_step=eos_step, step=state.step + 1, done=stop)
-        return new, jnp.where(stop, 0.0, 1.0) * pcm, ~stop
-
-    def dead(state):
-        pcm = jnp.zeros((cfg.mimi.frame_size,), state.prev_latent.dtype)
-        return state, pcm, jnp.zeros((), bool)
-
-    return jax.lax.cond(state.done, dead, live, state)
+    fstate, latent, is_eos = flow_lm.decode_step(
+        p, cfg, state.flow, state.prev_latent, noise)
+    eos_step = jnp.where((state.eos_step < 0) & is_eos & ~state.done,
+                         state.step, state.eos_step)
+    stop = (state.done
+            | ((eos_step >= 0) & (state.step >= eos_step + frames_after_eos))
+            | (state.step >= max_steps))
+    mimi_in = flow_lm.denormalize(p, latent)
+    mstate, pcm = mimi.decode_frame(p["mimi"], cfg.mimi, state.mimi,
+                                    mimi_in, cfg.gelu_approx)
+    new = StreamState(
+        flow=fstate, mimi=mstate, prev_latent=latent,
+        eos_step=eos_step, step=state.step + 1, done=stop)
+    pcm = jnp.where(stop, 0.0, 1.0) * pcm.astype(jnp.float32)
+    return new, pcm, ~stop
 
 
 def decode_sentence(p, cfg: ModelConfig, state: StreamState, rng, temp,

@@ -49,6 +49,23 @@ def causal_cache_bias(t: int, s: int, end):
     return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
 
 
+def pos_cache_bias(q_pos, slot_pos):
+    """Additive bias for a slot/position-decoupled cache.
+
+    Slots and absolute positions are decoupled so batched serving can write
+    all streams' KV at one shared slot offset (a plain dynamic_update_slice —
+    no scatter) while per-stream padding rows are simply flagged invalid
+    (position -1) forever.
+
+    q_pos: (T,) absolute positions of the queries.
+    slot_pos: (S,) absolute position stored in each slot, -1 = invalid.
+    Allowed(i, j) = slot_pos[j] >= 0 AND slot_pos[j] <= q_pos[i].
+    """
+    pk = slot_pos[None, :]
+    allowed = (pk >= 0) & (pk <= q_pos[:, None])
+    return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+
+
 def ring_positions(end_offset, capacity: int):
     """Reconstruct absolute positions stored in each ring-buffer slot.
 
@@ -95,3 +112,45 @@ def cache_insert_ring(cache, new, offset):
     t = new.shape[0]
     idx = (offset + jnp.arange(t, dtype=jnp.int32)) % cap
     return cache.at[idx].set(new.astype(cache.dtype))
+
+
+# ---------------------------------------------------------------------------
+# head-major variants — the models' hot path.
+#
+# Caches live in HBM as (H, S, D) so the per-head attention matmuls contract
+# over contiguous panels without XLA inserting a full-cache transpose each
+# step (with (S, H, D) layout that transpose dominated batched decoding).
+# The tiny per-step activations (T <= 256) are transposed instead.
+# ---------------------------------------------------------------------------
+
+def sdpa_hm(q, k, v, bias=None):
+    """softmax(q k^T / sqrt(D) + bias) v, head-major.
+
+    q: (H, T, D), k/v: (H, S, D), bias: (T, S) additive or None.
+    Returns (H, T, D). Logits/softmax in float32.
+    """
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    logits = jnp.einsum("htd,hsd->hts", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias[None, :, :]
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("hts,hsd->htd", w.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def cache_insert_linear_hm(cache, new, end):
+    """Write `new` (H, T, D) into linear cache (H, S, D) at row `end`."""
+    return jax.lax.dynamic_update_slice(
+        cache, new.astype(cache.dtype), (0, end, 0))
+
+
+def cache_insert_ring_hm(cache, new, offset):
+    """Write `new` (H, T, D) into ring cache (H, cap, D) at rows
+    (offset+i) % cap."""
+    cap = cache.shape[1]
+    t = new.shape[1]
+    idx = (offset + jnp.arange(t, dtype=jnp.int32)) % cap
+    return cache.at[:, idx, :].set(new.astype(cache.dtype))

@@ -62,11 +62,9 @@ def _spec_for_state(path: str, ndim: int) -> P:
     dim (axis -2 of (B, L, S, H, Dh)) over "model"."""
     if ndim == 0:
         return P()
-    if ndim >= 4 and (path.endswith(".k") or path.endswith(".v")):
-        spec = [None] * ndim
-        spec[0] = "data"
-        spec[-2] = "model"
-        return P(*spec)
+    if ndim >= 4 and (".k[" in path or ".v[" in path):
+        # batched cache (B, S, H, Dh): heads shard over "model"
+        return P("data", None, "model", *([None] * (ndim - 3)))
     return P("data", *([None] * (ndim - 1)))
 
 

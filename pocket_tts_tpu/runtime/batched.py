@@ -2,8 +2,12 @@
 
 New capability vs the reference (which is hard-coded batch 1,
 mimi_transformer.h:326-327): stream states are stacked on a leading batch
-axis, every step function is vmapped, and the stacked state optionally shards
-over a ("data", "model") device mesh for v5e-slice serving.
+axis and every step function is vmapped. Cache *slot* cursors (backbone
+`end`, mimi ring `offset`, frame counter `step`) are batch-uniform by
+construction — they stay unmapped under vmap, so every KV insert lowers to a
+plain dynamic_update_slice instead of a scatter. Per-stream variation
+(prompt/text lengths, EOS timing) lives in the per-slot position arrays and
+masks.
 """
 from __future__ import annotations
 
@@ -15,54 +19,122 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..models import backbone, mimi, tts
+from ..models import backbone, flow_lm, mimi, tts
 from ..text.preprocess import count_words, prepare_text_prompt
 from .engine import TTSEngine, _bucket, _SCAN_BUCKET
 
 
+def _axes_like(state, batched: bool = True):
+    """Full axes tree: 0 everywhere except batch-uniform cursors -> None."""
+    axes = jax.tree.map(lambda _: 0 if batched else None, state)
+    if isinstance(state, tts.StreamState):
+        return axes.replace(
+            flow=axes.flow.replace(end=None),
+            mimi=axes.mimi.replace(
+                transformer=axes.mimi.transformer.replace(offset=None)),
+            step=None)
+    if isinstance(state, backbone.BackboneState):
+        return axes.replace(end=None)
+    if isinstance(state, mimi.MimiState):
+        return axes.replace(
+            transformer=axes.transformer.replace(offset=None))
+    return axes
+
+
 def stack_states(states: Sequence):
-    return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *states)
+    """Stack per-stream states; batch-uniform cursor fields are kept scalar
+    (asserted equal)."""
+    axes = _axes_like(states[0])
+
+    def comb(axis, *leaves):
+        if axis is None:
+            return leaves[0]
+        return jnp.stack(leaves, 0)
+
+    return jax.tree.map(comb, axes, *states,
+                        is_leaf=lambda x: x is None)
 
 
 def unstack_states(state, n: int):
-    return [jax.tree.map(lambda x: x[i], state) for i in range(n)]
+    axes = _axes_like(state)
+    return [jax.tree.map(
+        lambda a, x, i=i: x if a is None else x[i], axes, state,
+        is_leaf=lambda x: x is None)
+        for i in range(n)]
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def batched_prime_voice(p, cfg, states, prompts, n_valid):
-    """prompts: (B, Tp, d), n_valid: (B,)."""
+    """states: stacked BackboneState; prompts: (B, Tp, d); n_valid: (B,)."""
+    axes = _axes_like(states)
     return jax.vmap(
         lambda s, pr, n: tts.prime_voice(p, cfg, s, pr, n),
-        in_axes=(0, 0, 0))(states, prompts, n_valid)
+        in_axes=(axes, 0, 0), out_axes=axes)(states, prompts, n_valid)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def batched_sentence_prefill(p, cfg, voice_states, mimi_template, tokens,
                              n_valid):
-    return jax.vmap(
-        lambda vs, tk, n: tts.sentence_prefill(p, cfg, vs, mimi_template,
-                                               tk, n),
-        in_axes=(0, 0, 0))(voice_states, tokens, n_valid)
+    """voice_states: stacked BackboneState; tokens (B, Tt); n_valid (B,).
+    Returns a stacked StreamState ready for batched_frame_step."""
+    b = tokens.shape[0]
+    vaxes = _axes_like(voice_states)
+
+    def one(vs, tk, n):
+        emb = flow_lm.embed_tokens(p, tk)
+        return flow_lm.prefill(p, cfg, vs, emb, n)
+
+    flow = jax.vmap(one, in_axes=(vaxes, 0, 0),
+                    out_axes=vaxes)(voice_states, tokens, n_valid)
+    dtype = p["bos_emb"].dtype
+    maxes = jax.tree.map(lambda _: 0, mimi_template)
+    maxes = maxes.replace(
+        transformer=maxes.transformer.replace(offset=None))
+    mimi_b = jax.tree.map(
+        lambda a, x: jnp.zeros_like(x) if a is None
+        else jnp.broadcast_to(jnp.zeros_like(x), (b,) + x.shape),
+        maxes, mimi_template, is_leaf=lambda x: x is None)
+    return tts.StreamState(
+        flow=flow,
+        mimi=mimi_b,
+        prev_latent=jnp.broadcast_to(p["bos_emb"].astype(dtype),
+                                     (b,) + p["bos_emb"].shape),
+        eos_step=jnp.full((b,), -1, jnp.int32),
+        step=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((b,), bool),
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def batched_frame_step(p, cfg, states, rngs, temp, frames_after_eos,
                        max_steps):
-    """states: stacked StreamState (B, ...); rngs (B, 2); scalars (B,)."""
+    """states: stacked StreamState; rngs (B, 2); scalars (B,)."""
+    axes = _axes_like(states)
     return jax.vmap(
         lambda s, r, t, f, m: tts.frame_step(p, cfg, s, r, t, f, m),
-        in_axes=(0, 0, 0, 0, 0))(states, rngs, temp, frames_after_eos,
-                                 max_steps)
+        in_axes=(axes, 0, 0, 0, 0),
+        out_axes=(axes, 0, 0))(states, rngs, temp, frames_after_eos,
+                               max_steps)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 7))
 def batched_decode_sentence(p, cfg, states, rngs, temp, frames_after_eos,
                             max_steps, scan_len):
-    return jax.vmap(
-        lambda s, r, t, f, m: tts.decode_sentence(p, cfg, s, r, t, f, m,
-                                                  scan_len),
-        in_axes=(0, 0, 0, 0, 0))(states, rngs, temp, frames_after_eos,
-                                 max_steps)
+    axes = _axes_like(states)
+
+    def body(carry, i):
+        st = carry
+        step = jax.vmap(
+            lambda s, r, t, f, m: tts.frame_step(
+                p, cfg, s, jax.random.fold_in(r, i), t, f, m),
+            in_axes=(axes, 0, 0, 0, 0), out_axes=(axes, 0, 0))
+        st, pcm, valid = step(st, rngs, temp, frames_after_eos, max_steps)
+        return st, (pcm, valid)
+
+    states, (pcm, valid) = jax.lax.scan(
+        body, states, jnp.arange(scan_len, dtype=jnp.int32))
+    # (scan, B, frame) -> (B, scan, frame)
+    return states, pcm.transpose(1, 0, 2), valid.T
 
 
 class BatchedEngine:
@@ -73,7 +145,8 @@ class BatchedEngine:
         self.mesh = mesh
 
     def prime_voices(self, prompts: Sequence[np.ndarray]):
-        """prompts: list of (Tp_i, d_model) arrays -> stacked voice states."""
+        """prompts: list of (Tp_i, d_model) arrays -> stacked voice states.
+        All prompts pad to one bucket so the slot cursor stays uniform."""
         eng = self.engine
         tp = max(_bucket(p.shape[0], (32, 64, 128, 256)) for p in prompts)
         padded = np.stack([

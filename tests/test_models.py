@@ -133,12 +133,12 @@ def test_backbone_prefill_then_decode_vs_torch():
     state = backbone.init_state(CFG.backbone)
     state, y = backbone.forward(PARAMS, CFG.backbone, state,
                                 jnp.array(x[:n_prefill]))
-    state = backbone.advance(state, n_prefill)
+    state = backbone.advance(state, n_prefill, n_prefill)
     np.testing.assert_allclose(np.asarray(y), want[:n_prefill], atol=2e-4)
     for i in range(n_prefill, total):
         state, y = backbone.forward(PARAMS, CFG.backbone, state,
                                     jnp.array(x[i:i + 1]))
-        state = backbone.advance(state, 1)
+        state = backbone.advance(state, 1, 1)
         np.testing.assert_allclose(np.asarray(y)[0], want[i], atol=2e-4,
                                    err_msg=f"step {i}")
 
@@ -153,12 +153,12 @@ def test_backbone_padded_prefill_matches_exact():
     s_exact = backbone.init_state(CFG.backbone)
     s_exact, y_exact = backbone.forward(PARAMS, CFG.backbone, s_exact,
                                         jnp.array(x))
-    s_exact = backbone.advance(s_exact, n)
+    s_exact = backbone.advance(s_exact, n, n)
 
     s_pad = backbone.init_state(CFG.backbone)
     s_pad, y_pad = backbone.forward(PARAMS, CFG.backbone, s_pad,
-                                    jnp.array(pad))
-    s_pad = backbone.advance(s_pad, n)
+                                    jnp.array(pad), n_valid=n)
+    s_pad = backbone.advance(s_pad, pad.shape[0], n)
 
     np.testing.assert_allclose(np.asarray(y_pad)[:n], np.asarray(y_exact),
                                atol=1e-5)

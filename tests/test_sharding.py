@@ -14,7 +14,7 @@ from pocket_tts_tpu.runtime.batched import (BatchedEngine,
                                             batched_frame_step,
                                             batched_prime_voice,
                                             batched_sentence_prefill,
-                                            stack_states)
+                                            stack_states, unstack_states)
 from pocket_tts_tpu.runtime.engine import TTSEngine
 from pocket_tts_tpu.text.tokenizer import MockTokenizer
 
@@ -50,7 +50,7 @@ class TestBatched:
             jnp.full((b,), 3, jnp.int32), jnp.full((b,), 50, jnp.int32))
         assert pcm.shape == (b, CFG.mimi.frame_size)
         # stream 1 computed alone must match its batched result
-        s1 = jax.tree.map(lambda x: x[1], states)
+        s1 = unstack_states(states, b)[1]
         _, pcm1, _ = tts.jit_frame_step(
             PARAMS, CFG, s1, jax.random.PRNGKey(1), jnp.float32(0.7),
             jnp.int32(3), jnp.int32(50))
