@@ -43,6 +43,17 @@ def build_parser():
                    help="synthesize the text N times batched (throughput)")
     p.add_argument("--json", action="store_true",
                    help="emit bench stats as one JSON line")
+    p.add_argument("--interactive", action="store_true",
+                   help="read text from stdin, stream audio per sentence")
+    p.add_argument("--quantize", default=None, choices=["int8", "q8"],
+                   help="int8 per-channel weight quantization")
+    p.add_argument("--save-cache", default=None, metavar="PATH",
+                   help="save the (possibly quantized) params cache and exit "
+                        "(GGUF-conversion analog)")
+    p.add_argument("--load-cache", default=None, metavar="PATH",
+                   help="load params from a cache file")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
     return p
 
 
@@ -72,7 +83,7 @@ def main(argv=None):
             seed = 0
         if temp is None:
             temp = 0.0
-    if text is None:
+    if text is None and not args.interactive and not args.save_cache:
         build_parser().print_help()
         return 1
     seed = 0 if seed is None else seed
@@ -86,65 +97,128 @@ def main(argv=None):
     from .runtime.engine import TTSEngine
     from .io.wav import save_wav
 
-    if args.random_weights or not os.path.exists(
+    from .io.wav import StreamingWavWriter
+    from .utils.profiling import FrameMeter, device_trace
+    import contextlib
+
+    if args.load_cache:
+        from .io.quant import load_params_cache
+        engine = TTSEngine(params=load_params_cache(args.load_cache),
+                           cfg=DEFAULT_CONFIG, seed=seed)
+        voice = args.voice
+    elif args.random_weights or not os.path.exists(
             os.path.join(model_path, "tts_b6369a24.safetensors")):
         if not args.random_weights:
             print(f"note: no checkpoint under {model_path}; "
                   "using random weights", file=sys.stderr)
         from .io.params import random_params, random_voice_prompt
         params, cfg = random_params(DEFAULT_CONFIG)
-        engine = TTSEngine(params=params, cfg=cfg, seed=seed)
+        engine = TTSEngine(params=params, cfg=cfg, seed=seed,
+                           quantize=args.quantize)
         voice = random_voice_prompt(cfg)
     else:
-        engine = TTSEngine(model_path=model_path, seed=seed)
+        engine = TTSEngine(model_path=model_path, seed=seed,
+                           quantize=args.quantize)
         voice = args.voice
     engine.set_seed(seed)
+
+    if args.save_cache:
+        engine.save_params_cache(args.save_cache)
+        print(f"wrote params cache: {args.save_cache}")
+        if text is None and not args.interactive:
+            return 0
+
     print(f"seed: {engine.seed}")
 
-    # streaming loop: feed 15-char chunks to simulate streaming
-    # (ref: demos/pocket-tts.cpp:467-481)
-    stream = engine.open_stream(voice, temp)
-    pcm_out = []
-    pos = 0
-    gen_start = time.perf_counter()
-    lm_time = 0.0
-    frames = 0
-    active = True
-    while active:
-        active = False
-        if pos < len(text):
-            chunk = text[pos:pos + 15]
-            pos += len(chunk)
-            t0 = time.perf_counter()
-            stream.send(chunk)
-            if pos >= len(text):
-                stream.flush()
-            lm_time += time.perf_counter() - t0
-            active = True
+    if args.batch > 1:
+        # batched throughput mode: synthesize the text args.batch times
+        # concurrently (vmap) and report aggregate frames/s
+        from .runtime.batched import BatchedEngine
+        from .io.params import load_voice
+        if isinstance(voice, str):
+            from .runtime.engine import DEFAULT_VOICES
+            vpath = (os.path.join(model_path, "embeddings",
+                                  voice + ".safetensors")
+                     if voice in DEFAULT_VOICES else voice)
+            voice = np.asarray(load_voice(vpath))
+        be = BatchedEngine(engine)
+        vstates = be.prime_voices([voice] * args.batch)
         t0 = time.perf_counter()
-        frame = stream.receive()
-        if frame is not None:
-            lm_time += time.perf_counter() - t0
-            frames += 1
-            pcm_out.append(frame)
-            active = True
+        pcms = be.synthesize_batch([text] * args.batch, vstates, temp)
+        dt = time.perf_counter() - t0
+        frames = sum(p.size for p in pcms) // engine.frame_size
+        fps = frames / dt
+        print(f"batch {args.batch}: {frames} frames in {dt:.2f}s = "
+              f"{fps:.1f} frames/s aggregate")
+        if args.json:
+            print(json.dumps({"metric": "batched_frames_per_second",
+                              "value": round(fps, 2), "unit": "frames/s",
+                              "batch": args.batch}))
+        if args.output:
+            from .io.wav import save_wav
+            save_wav(args.output, pcms[0], engine.sample_rate)
+        return 0
 
-    total = time.perf_counter() - gen_start
-    fps = frames / lm_time if lm_time > 0 else 0.0
-    print(f"done generating. {total:.3f}")
+    stream = engine.open_stream(voice, temp)
+    meter = FrameMeter(engine.cfg.mimi.frame_rate)
+    writer = (StreamingWavWriter(args.output, engine.sample_rate)
+              if args.output else None)
+    trace_cm = device_trace(args.profile) if args.profile \
+        else contextlib.nullcontext()
+
+    def pump():
+        """Drain available frames; returns count emitted."""
+        n = 0
+        while True:
+            with meter.step():
+                frame = stream.receive()
+            if frame is None:
+                meter._frames -= 1  # receive() returned nothing
+                break
+            n += 1
+            if writer is not None:
+                writer.write(frame)
+        return n
+
+    frames = 0
+    with trace_cm:
+        if args.interactive:
+            # read stdin chunks as they arrive (ref stdin-reader thread,
+            # demos/pocket-tts.cpp:56-91)
+            for line in sys.stdin:
+                stream.send(line)
+                frames += pump()
+            stream.flush()
+            frames += pump()
+        else:
+            # feed 15-char chunks to simulate streaming
+            # (ref: demos/pocket-tts.cpp:467-481)
+            pos = 0
+            while pos < len(text):
+                chunk = text[pos:pos + 15]
+                pos += len(chunk)
+                stream.send(chunk)
+                if pos >= len(text):
+                    stream.flush()
+                frames += pump()
+            frames += pump()
+
+    if writer is not None:
+        writer.close()
+        print(f"wrote {args.output}: "
+              f"{frames * engine.frame_size / engine.sample_rate:.2f}s")
+
+    rep = meter.report()
+    print(f"done generating. {rep['wall_s']:.3f}")
     print(f"frame count: {frames:4d} frames")
-    print(f"frame rate:  {fps:f} frames/s")
+    print(f"frame rate:  {rep['frames_per_second']:f} frames/s")
     if args.json:
         print(json.dumps({
-            "metric": "frames_per_second", "value": fps, "unit": "frames/s",
-            "frames": frames, "total_s": total,
-            "rtf": fps / engine.cfg.mimi.frame_rate,
+            "metric": "frames_per_second",
+            "value": rep["frames_per_second"], "unit": "frames/s",
+            "frames": frames, "total_s": rep["wall_s"], "rtf": rep["rtf"],
+            "ttfa_ms": rep["ttfa_ms"],
         }))
-
-    if pcm_out and args.output:
-        pcm = np.concatenate(pcm_out)
-        save_wav(args.output, pcm, engine.sample_rate)
-        print(f"wrote {args.output}: {len(pcm) / engine.sample_rate:.2f}s")
     return 0
 
 

@@ -1,0 +1,120 @@
+"""Weight quantization and params caching.
+
+TPU-native analog of the reference's offline GGUF conversion/quantization
+pipeline (WeightLoader Q4_0/Q8_0 paths, src/loader.h:162-173,228-272 and
+`save_gguf`): large linear weights quantize to int8 with per-output-channel
+scales, and any params pytree (quantized or not) round-trips through a
+safetensors "param cache" file whose tree structure is stored in the header
+metadata.
+"""
+from __future__ import annotations
+
+import json
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# quantize only weights at least this many elements (biases/norms stay f32)
+_MIN_QUANT_SIZE = 64 * 64
+
+
+def _quantize_leaf(w):
+    """w (in, out) -> {"q": int8, "scale": f32 (out,)}; symmetric
+    per-output-channel."""
+    w32 = np.asarray(w, np.float32)
+    amax = np.abs(w32).max(axis=0)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w32 / scale), -127, 127).astype(np.int8)
+    return {"q": jnp.asarray(q), "scale": jnp.asarray(scale)}
+
+
+def quantize_params(params) -> dict:
+    """Quantize every eligible linear weight in a params pytree.
+
+    A dict node {"w": 2-D weight, ...} becomes {"q", "scale", ...}; conv
+    weights (3-D) and small tensors are left alone. Stacked layer weights
+    (L, in, out) quantize per layer x output channel.
+    """
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for key, val in node.items():
+                if key == "w" and hasattr(val, "ndim"):
+                    if val.ndim == 2 and val.size >= _MIN_QUANT_SIZE:
+                        qd = _quantize_leaf(val)
+                        out["q"], out["scale"] = qd["q"], qd["scale"]
+                        continue
+                    # stacked linear (L, in, out) vs conv (out, in, K):
+                    # a conv's trailing kernel dim is small
+                    if (val.ndim == 3 and val.shape[2] >= 128
+                            and val.size >= _MIN_QUANT_SIZE):
+                        w32 = np.asarray(val, np.float32)
+                        amax = np.abs(w32).max(axis=1)          # (L, out)
+                        scale = np.where(amax > 0, amax / 127.0,
+                                         1.0).astype(np.float32)
+                        q = np.clip(np.round(w32 / scale[:, None, :]),
+                                    -127, 127).astype(np.int8)
+                        out["q"] = jnp.asarray(q)
+                        out["scale"] = jnp.asarray(scale)
+                        continue
+                out[key] = walk(val)
+            return out
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+    return walk(params)
+
+
+# ---------------------------------------------------------------------------
+# param cache: any params pytree <-> one safetensors file
+# ---------------------------------------------------------------------------
+
+def save_params_cache(params, path: str):
+    """Serialize a params pytree (quantized or not) to safetensors; the
+    pytree structure is recorded in header metadata for exact round-trip."""
+    from .safetensors_io import save_safetensors
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    tensors = {}
+    names = []
+    for keypath, leaf in flat:
+        name = jax.tree_util.keystr(keypath)
+        names.append(name)
+        tensors[name] = np.asarray(leaf)
+    structure = _tree_skeleton(params)
+    save_safetensors(tensors, path,
+                     metadata={"pocket_tts_tree": json.dumps(structure)})
+
+
+def load_params_cache(path: str):
+    from .safetensors_io import load_safetensors
+    tensors, meta = load_safetensors(path, with_metadata=True)
+    structure = json.loads(meta["pocket_tts_tree"])
+    flat = {k: jnp.asarray(np.asarray(v)) for k, v in tensors.items()}
+    return _tree_unskeleton(structure, flat, "")
+
+
+def _tree_skeleton(node):
+    if isinstance(node, dict):
+        return {"__kind__": "dict",
+                "items": {k: _tree_skeleton(v) for k, v in node.items()}}
+    if isinstance(node, tuple):
+        return {"__kind__": "tuple",
+                "items": [_tree_skeleton(v) for v in node]}
+    if isinstance(node, list):
+        return {"__kind__": "list",
+                "items": [_tree_skeleton(v) for v in node]}
+    return {"__kind__": "leaf"}
+
+
+def _tree_unskeleton(skel, flat, prefix):
+    kind = skel["__kind__"]
+    if kind == "leaf":
+        return flat[prefix]
+    if kind == "dict":
+        return {k: _tree_unskeleton(v, flat, prefix + f"['{k}']")
+                for k, v in skel["items"].items()}
+    seq = [_tree_unskeleton(v, flat, prefix + f"[{i}]")
+           for i, v in enumerate(skel["items"])]
+    return tuple(seq) if kind == "tuple" else seq

@@ -39,17 +39,17 @@ _DTYPE_NAMES = {v: k for k, v in _DTYPES.items()}
 
 
 def read_header(path: str):
-    """Returns (header dict, data start offset)."""
+    """Returns (header dict, data start offset, metadata dict)."""
     with open(path, "rb") as f:
         (hlen,) = struct.unpack("<Q", f.read(8))
         header = json.loads(f.read(hlen).decode("utf-8"))
-    header.pop("__metadata__", None)
-    return header, 8 + hlen
+    meta = header.pop("__metadata__", {}) or {}
+    return header, 8 + hlen, meta
 
 
-def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+def load_safetensors(path: str, with_metadata: bool = False):
     """name -> np.ndarray views over a single memmap of the file."""
-    header, base = read_header(path)
+    header, base, meta = read_header(path)
     buf = np.memmap(path, dtype=np.uint8, mode="r", offset=base)
     out = {}
     for name, info in header.items():
@@ -57,11 +57,17 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
         beg, end = info["data_offsets"]
         arr = buf[beg:end].view(dt).reshape(info["shape"])
         out[name] = arr
+    if with_metadata:
+        return out, meta
     return out
 
 
-def save_safetensors(tensors: Dict[str, np.ndarray], path: str):
+def save_safetensors(tensors: Dict[str, np.ndarray], path: str,
+                     metadata: Dict[str, str] = None):
     header = {}
+    if metadata:
+        header["__metadata__"] = {str(k): str(v)
+                                  for k, v in metadata.items()}
     offset = 0
     blobs = []
     for name in sorted(tensors):

@@ -12,8 +12,20 @@ import jax.numpy as jnp
 
 
 def linear(p, x):
-    """y = x @ w + b.  ref: torch_nn_linear, src/torch.h:79-87."""
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    """y = x @ w + b.  ref: torch_nn_linear, src/torch.h:79-87.
+
+    Quantized variant: p = {"q": int8 (in, out), "scale": (out,)} with
+    per-output-channel scales — the TPU analog of the reference's Q8_0
+    weight quantization (src/loader.h:162-173, src/torch.h:91-93). The
+    scale factors out of the contraction, so dequant is one multiply on
+    the (tiny) output.
+    """
+    q = p.get("q")
+    if q is not None:
+        y = jnp.dot(x, q.astype(x.dtype), preferred_element_type=jnp.float32)
+        y = y * p["scale"]
+    else:
+        y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
     b = p.get("b")
     if b is not None:
         y = y + b

@@ -51,14 +51,23 @@ class TTSEngine:
                  params: Optional[dict] = None,
                  cfg: Optional[ModelConfig] = None,
                  dtype=jnp.float32, seed: int = 0,
-                 tokenizer=None):
-        """Load weights (ptts_init analog, src/pocket_tts.cpp:273-322)."""
+                 tokenizer=None, quantize: Optional[str] = None):
+        """Load weights (ptts_init analog, src/pocket_tts.cpp:273-322).
+
+        quantize: None or "int8" — per-channel int8 linear weights, the
+        analog of the reference's Q8 GGUF path (src/loader.h:162-173).
+        """
         self.model_path = model_path
         if params is None:
             ckpt = os.path.join(model_path or ".",
                                 "tts_b6369a24.safetensors")
             params, cfg = params_io.load_checkpoint(ckpt, cfg, dtype)
         assert cfg is not None
+        if quantize:
+            if quantize not in ("int8", "q8"):
+                raise ValueError(f"unknown quantization: {quantize}")
+            from ..io.quant import quantize_params
+            params = quantize_params(params)
         self.params = params
         self.cfg = cfg
         self.dtype = dtype
@@ -80,6 +89,17 @@ class TTSEngine:
     @property
     def frame_size(self) -> int:
         return self.cfg.mimi.frame_size
+
+    def save_params_cache(self, path: str):
+        """Persist the (possibly quantized) params pytree — the analog of
+        the reference's GGUF conversion/save (src/loader.h:228-272)."""
+        from ..io.quant import save_params_cache
+        save_params_cache(self.params, path)
+
+    @classmethod
+    def from_params_cache(cls, path: str, cfg, **kw):
+        from ..io.quant import load_params_cache
+        return cls(params=load_params_cache(path), cfg=cfg, **kw)
 
     def set_seed(self, seed: int):
         self.seed = seed
