@@ -31,8 +31,12 @@ class BackboneConfig:
     num_heads: int = 16
     num_layers: int = 6
     # KV capacity; the reference allocates seq-len 1000 states
-    # (src/pocket_tts.cpp:367-368).
-    kv_capacity: int = 1000
+    # (src/pocket_tts.cpp:367-368) — rounded up to 1024 here so cache reads
+    # tile cleanly into 128-slot blocks (strictly more headroom).
+    kv_capacity: int = 1024
+    # use the Pallas flash-decode attention kernel for T=1 steps (reads only
+    # the live cache prefix); False falls back to plain XLA sdpa
+    use_pallas_attn: bool = False
 
     @property
     def head_dim(self) -> int:

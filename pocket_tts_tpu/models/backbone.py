@@ -53,10 +53,14 @@ def init_state(cfg: BackboneConfig, dtype=jnp.float32) -> BackboneState:
     )
 
 
-def _layer(p, x, k_cache, v_cache, end, cos, sin, bias, num_heads: int,
-           gelu_approx: bool):
+def _layer(p, x, k_cache, v_cache, end, cos, sin, bias, pos_vec,
+           num_heads: int, gelu_approx: bool, pallas_mode: str):
     """One pre-LN layer. ref: streaming_transformer_layer_forward,
-    transformer.h:253-278; attention transformer.h:55-199."""
+    transformer.h:253-278; attention transformer.h:55-199.
+
+    pallas_mode: "off" (XLA sdpa), "tpu" or "interpret" — use the Pallas
+    flash-decode kernel that only reads the live cache prefix (T==1 only).
+    """
     t, dm = x.shape
     h = layer_norm(p["norm1"], x, eps=1e-5)
     qkv = linear(p["in_proj"], h)                       # (T, 3*dm)
@@ -68,7 +72,14 @@ def _layer(p, x, k_cache, v_cache, end, cos, sin, bias, num_heads: int,
     k = apply_rope(k, cos, sin)
     k_cache = cache_insert_linear(k_cache, k, end)
     v_cache = cache_insert_linear(v_cache, v, end)
-    attn = sdpa(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), bias)
+    if pallas_mode != "off" and t == 1:
+        from ..ops.pallas_attn import decode_attention
+        attn = decode_attention(
+            q[0], k_cache, v_cache, pos_vec, end,
+            interpret=(pallas_mode == "interpret"))[None]
+    else:
+        attn = sdpa(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                    bias)
     x = x + linear(p["out_proj"], attn.reshape(t, dm))
     h = layer_norm(p["norm2"], x, eps=1e-5)
     x = x + linear(p["linear2"], gelu(linear(p["linear1"], h), gelu_approx))
@@ -91,14 +102,20 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
     row_pos = jnp.where(jnp.arange(t) < n_valid, positions, -1)
     pos_vec = jax.lax.dynamic_update_slice(state.pos, row_pos, (state.end,))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.max_period)
-    bias = pos_cache_bias(positions, pos_vec)
+    if cfg.use_pallas_attn and t == 1:
+        pallas_mode = ("interpret" if jax.default_backend() == "cpu"
+                       else "tpu")
+        bias = None
+    else:
+        pallas_mode = "off"
+        bias = pos_cache_bias(positions, pos_vec)
 
     k_new, v_new = [], []
     for l in range(cfg.num_layers):
         layer_p = jax.tree.map(lambda w: w[l], p["layers"])
         x, k_l, v_l = _layer(
             layer_p, x, state.k[l], state.v[l], state.end, cos, sin, bias,
-            cfg.num_heads, gelu_approx)
+            pos_vec, cfg.num_heads, gelu_approx, pallas_mode)
         k_new.append(k_l)
         v_new.append(v_l)
     return state.replace(k=tuple(k_new), v=tuple(v_new), pos=pos_vec), x

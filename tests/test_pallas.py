@@ -1,0 +1,99 @@
+"""Pallas flash-decode attention kernel vs the XLA sdpa reference.
+
+Runs in interpreter mode on CPU; the same kernel compiles via Mosaic on TPU
+(verified on v5e: max |diff| vs sdpa ~1e-3 in bf16, ~1e-7 in f32).
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pocket_tts_tpu.ops.attention import pos_cache_bias, sdpa
+from pocket_tts_tpu.ops.pallas_attn import decode_attention
+
+S, H, D = 256, 4, 16
+BS = 64
+
+
+def make_case(end, seed=0, holes=True):
+    rng = np.random.RandomState(seed)
+    k = jnp.asarray(rng.randn(S, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(S, H, D).astype(np.float32))
+    q = jnp.asarray(rng.randn(H, D).astype(np.float32))
+    pos = np.full(S, -1, np.int32)
+    pos[: end + 1] = np.arange(end + 1)
+    if holes and end > 20:
+        pos[10:15] = -1  # padding holes mid-cache
+    return q, k, v, jnp.asarray(pos)
+
+
+def reference(q, k, v, pos):
+    # query position beyond all stored -> bias reduces to validity
+    big = jnp.asarray([10 ** 6], jnp.int32)
+    return sdpa(q[None], k, v, pos_cache_bias(big, pos))[0]
+
+
+class TestDecodeAttention:
+    @pytest.mark.parametrize("end", [0, 5, 63, 64, 70, 255])
+    def test_matches_sdpa(self, end):
+        q, k, v, pos = make_case(end)
+        got = decode_attention(q, k, v, pos, jnp.int32(end), block_size=BS,
+                               interpret=True)
+        want = reference(q, k, v, pos)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_ignores_garbage_beyond_end(self):
+        """Slots past `end` hold stale data but pos = -1 masks them."""
+        q, k, v, pos = make_case(40, holes=False)
+        got1 = decode_attention(q, k, v, pos, jnp.int32(40), block_size=BS,
+                                interpret=True)
+        k2 = k.at[100:].set(999.0)
+        got2 = decode_attention(q, k2, v, pos, jnp.int32(40), block_size=BS,
+                                interpret=True)
+        np.testing.assert_array_equal(np.asarray(got1), np.asarray(got2))
+
+    def test_vmap_batched(self):
+        b = 3
+        cases = [make_case(90, seed=i) for i in range(b)]
+        qb = jnp.stack([c[0] for c in cases])
+        kb = jnp.stack([c[1] for c in cases])
+        vb = jnp.stack([c[2] for c in cases])
+        pb = jnp.stack([c[3] for c in cases])
+        got = jax.vmap(
+            lambda q, k, v, p: decode_attention(q, k, v, p, jnp.int32(90),
+                                                block_size=BS,
+                                                interpret=True)
+        )(qb, kb, vb, pb)
+        for i in range(b):
+            want = reference(cases[i][0], cases[i][1], cases[i][2],
+                             cases[i][3])
+            np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                       atol=1e-5, err_msg=f"stream {i}")
+
+    def test_backbone_pallas_matches_xla(self):
+        """Full backbone decode step with use_pallas_attn (interpret) must
+        match the XLA path."""
+        from pocket_tts_tpu.config import tiny_config
+        from pocket_tts_tpu.io.params import random_params
+        from pocket_tts_tpu.models import backbone
+
+        cfg0 = tiny_config()
+        params, cfg = random_params(cfg0, seed=3)
+        cfgp = dataclasses.replace(
+            cfg.backbone, use_pallas_attn=True)
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(10, cfg.backbone.d_model).astype(np.float32) * 0.3
+        s1 = backbone.init_state(cfg.backbone)
+        s1, _ = backbone.forward(params, cfg.backbone, s1, jnp.array(x))
+        s1 = backbone.advance(s1, 10, 10)
+        s2 = s1
+
+        step = rng.randn(1, cfg.backbone.d_model).astype(np.float32) * 0.3
+        _, y_xla = backbone.forward(params, cfg.backbone, s1, jnp.array(step))
+        _, y_pal = backbone.forward(params, cfgp, s2, jnp.array(step))
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
+                                   atol=1e-4)
