@@ -107,12 +107,16 @@ def frame_step(p, cfg: ModelConfig, state: StreamState, rng, temp,
     stop = (state.done
             | ((eos_step >= 0) & (state.step >= eos_step + frames_after_eos))
             | (state.step >= max_steps))
+    # KV slot budget exhausted: the CURRENT frame's slot was still in
+    # bounds, so it is emitted; only future frames stop. (The reference
+    # leaves this overflow unhandled — src/pocket_tts.cpp:425 TODO.)
+    done_next = stop | (fstate.end >= cfg.backbone.kv_capacity)
     mimi_in = flow_lm.denormalize(p, latent)
     mstate, pcm = mimi.decode_frame(p["mimi"], cfg.mimi, state.mimi,
                                     mimi_in, cfg.gelu_approx)
     new = StreamState(
         flow=fstate, mimi=mstate, prev_latent=latent,
-        eos_step=eos_step, step=state.step + 1, done=stop)
+        eos_step=eos_step, step=state.step + 1, done=done_next)
     pcm = jnp.where(stop, 0.0, 1.0) * pcm.astype(jnp.float32)
     return new, pcm, ~stop
 
@@ -136,6 +140,35 @@ def decode_sentence(p, cfg: ModelConfig, state: StreamState, rng, temp,
     state, (pcm, valid) = jax.lax.scan(
         body, state, jnp.arange(scan_len, dtype=jnp.int32))
     return state, pcm, valid
+
+
+def decode_sentence_early_exit(p, cfg: ModelConfig, state: StreamState, rng,
+                               temp, frames_after_eos, max_steps,
+                               scan_len: int):
+    """Like decode_sentence but a lax.while_loop that STOPS once the stream
+    is done — with real weights EOS fires well before max_steps, so this
+    skips the dead tail the scan would still compute. Single-stream offline
+    path; rng folding matches decode_sentence exactly (same audio).
+    """
+    pcm_buf = jnp.zeros((scan_len, cfg.mimi.frame_size), jnp.float32)
+    valid_buf = jnp.zeros((scan_len,), bool)
+
+    def cond(carry):
+        i, st, _, _ = carry
+        return (i < scan_len) & ~st.done
+
+    def body(carry):
+        i, st, pcm_buf, valid_buf = carry
+        st, pcm, valid = frame_step(
+            p, cfg, st, jax.random.fold_in(rng, i), temp,
+            frames_after_eos, max_steps)
+        pcm_buf = jax.lax.dynamic_update_slice(pcm_buf, pcm[None], (i, 0))
+        valid_buf = valid_buf.at[i].set(valid)
+        return i + 1, st, pcm_buf, valid_buf
+
+    _, state, pcm_buf, valid_buf = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, pcm_buf, valid_buf))
+    return state, pcm_buf, valid_buf
 
 
 # ---------------------------------------------------------------------------
@@ -162,3 +195,10 @@ def jit_decode_sentence(p, cfg, state, rng, temp, frames_after_eos, max_steps,
                         scan_len):
     return decode_sentence(p, cfg, state, rng, temp, frames_after_eos,
                            max_steps, scan_len)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 7))
+def jit_decode_sentence_early_exit(p, cfg, state, rng, temp, frames_after_eos,
+                                   max_steps, scan_len):
+    return decode_sentence_early_exit(p, cfg, state, rng, temp,
+                                      frames_after_eos, max_steps, scan_len)

@@ -119,14 +119,17 @@ def batched_frame_step(p, cfg, states, rngs, temp, frames_after_eos,
 
 @functools.partial(jax.jit, static_argnums=(1, 7))
 def batched_decode_sentence(p, cfg, states, rngs, temp, frames_after_eos,
-                            max_steps, scan_len):
+                            max_steps, scan_len, rng_offset=0):
+    """rng_offset lets chunked serving (scan_len frames at a time) fold the
+    same per-frame rng indices as one long scan — identical audio."""
     axes = _axes_like(states)
+    rng_offset = jnp.asarray(rng_offset, jnp.int32)
 
     def body(carry, i):
         st = carry
         step = jax.vmap(
             lambda s, r, t, f, m: tts.frame_step(
-                p, cfg, s, jax.random.fold_in(r, i), t, f, m),
+                p, cfg, s, jax.random.fold_in(r, rng_offset + i), t, f, m),
             in_axes=(axes, 0, 0, 0, 0), out_axes=(axes, 0, 0))
         st, pcm, valid = step(st, rngs, temp, frames_after_eos, max_steps)
         return st, (pcm, valid)

@@ -149,11 +149,12 @@ class TTSEngine:
     # -- offline (scan) ----------------------------------------------------
     def synthesize_sentence(self, voice_state, text: str, temp: float,
                             frames_after_eos: int) -> np.ndarray:
-        """One prepared sentence -> PCM float array, fully on device."""
+        """One prepared sentence -> PCM float array, fully on device; the
+        decode while-loop exits as soon as EOS + frames_after_eos is hit."""
         state = self._prefill_sentence(voice_state, text)
         max_steps = int((count_words(text) + 2.0) * self.cfg.mimi.frame_rate)
         scan_len = -(-max_steps // _SCAN_BUCKET) * _SCAN_BUCKET
-        _, pcm, valid = tts.jit_decode_sentence(
+        _, pcm, valid = tts.jit_decode_sentence_early_exit(
             self.params, self.cfg, state, self._next_rng(),
             jnp.asarray(temp, self.dtype), jnp.int32(frames_after_eos),
             jnp.int32(max_steps), scan_len)
