@@ -7,19 +7,62 @@ sentence, seed 0, temperature 0, no audio output. The reference reports
 ~19 frames/s on its author's CPU (README.md:19); realtime is 12.5 frames/s;
 the repo target is >=625 frames/s on one v5e chip (BASELINE.md).
 
-Timing forces a device->host fetch each rep — on this remote-TPU setup
-block_until_ready alone does not guarantee execution completed.
+Methodology: this environment reaches the TPU through a tunnel where a
+single dispatch+fetch costs ~0.1-1 s of pure transport, so throughput is
+measured from jax.profiler device traces (the duration of the program's
+device execution), with wall-clock (transport-included) numbers reported
+alongside.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
+import glob
+import gzip
 import json
+import os
+import shutil
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 BASELINE_FPS = 19.0
 BENCH_TEXT = "The quick brown fox jumped over the sleeping dog."
+
+
+def device_ms(fn, fetch):
+    """Run fn once under a profiler trace; return (device_ms of the largest
+    jit program execution, wall_s). Falls back to wall time if the trace is
+    unavailable."""
+    import jax
+    tmp = tempfile.mkdtemp(prefix="ptts_bench_trace")
+    try:
+        t0 = time.perf_counter()
+        try:
+            jax.profiler.start_trace(tmp)
+            traced = True
+        except Exception:
+            traced = False
+        out = fn()
+        fetch(out)
+        wall = time.perf_counter() - t0
+        if traced:
+            jax.profiler.stop_trace()
+            files = sorted(glob.glob(
+                os.path.join(tmp, "plugins/profile/*/*.trace.json.gz")))
+            if files:
+                with gzip.open(files[-1]) as f:
+                    data = json.load(f)
+                total = 0.0
+                for e in data.get("traceEvents", []):
+                    if (e.get("ph") == "X" and "dur" in e
+                            and e.get("name", "").startswith("jit_")):
+                        total += e["dur"] / 1e3
+                if total > 0:
+                    return total, wall
+        return wall * 1e3, wall
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main():
@@ -52,6 +95,9 @@ def main():
         params, cfg, backbone.init_state(cfg.backbone, dtype), prompt,
         jnp.int32(120))
     mimi_template = mimi.init_state(cfg.mimi, dtype)
+    # per-sentence KV slot budget (engine._sentence_capacity does this
+    # bucketing automatically): 256 prompt + 64 text + 137 frames -> 512
+    vstate = backbone.shrink_state(vstate, 512)
     state0 = tts.jit_sentence_prefill(params, cfg, vstate, mimi_template,
                                       tokens, jnp.int32(len(ids)))
 
@@ -67,36 +113,28 @@ def main():
             scan_len)
         return pcm, valid
 
-    # warmup/compile; the fetch forces real completion
+    def fetch(out):
+        return float(np.asarray(out[0]).ravel()[0])
+
     t0 = time.perf_counter()
     pcm, valid = run()
     frames = int(np.asarray(valid).sum())
-    float(np.asarray(pcm).sum())
     compile_s = time.perf_counter() - t0
 
-    # time-to-first-audio: prefill + one frame, steady state
-    st = tts.jit_sentence_prefill(params, cfg, vstate, mimi_template, tokens,
-                                  jnp.int32(len(ids)))
-    _, f1, _ = tts.jit_frame_step(params, cfg, st, rng, temp, fae,
-                                  jnp.int32(max_steps))
-    float(np.asarray(f1).sum())
-    t0 = time.perf_counter()
-    st2 = tts.jit_sentence_prefill(params, cfg, vstate, mimi_template, tokens,
-                                   jnp.int32(len(ids)))
-    _, f1, _ = tts.jit_frame_step(params, cfg, st2, rng, temp, fae,
-                                  jnp.int32(max_steps))
-    float(np.asarray(f1).sum())
-    ttfa_ms = (time.perf_counter() - t0) * 1e3
-
-    # steady-state single-stream decode throughput
-    reps = 4
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        pcm, _ = run()
-        float(np.asarray(pcm).ravel()[0])
-    dt = time.perf_counter() - t0
-    fps = frames * reps / dt
+    dms, wall = device_ms(run, fetch)
+    fps = frames / (dms / 1e3)
     rtf = fps / cfg.mimi.frame_rate
+
+    # time-to-first-audio: prefill + one frame (device time of both programs)
+    def ttfa_fn():
+        st = tts.jit_sentence_prefill(params, cfg, vstate, mimi_template,
+                                      tokens, jnp.int32(len(ids)))
+        _, f1, _ = tts.jit_frame_step(params, cfg, st, rng, temp, fae,
+                                      jnp.int32(max_steps))
+        return (f1,)
+
+    ttfa_fn()  # warm
+    ttfa_ms, _ = device_ms(ttfa_fn, fetch)
 
     # batched aggregate throughput (32 sentences x 32 voices; BASELINE cfg 4)
     B = 32
@@ -107,6 +145,7 @@ def main():
                        for _ in range(B)])
     vs = batched_prime_voice(params, cfg, vs, prompts,
                              jnp.full((B,), 120, jnp.int32))
+    vs = backbone.shrink_state(vs, 512)
     toks_b = jnp.tile(tokens[None], (B, 1))
     sts = batched_sentence_prefill(params, cfg, vs, mimi_template, toks_b,
                                    jnp.full((B,), len(ids), jnp.int32))
@@ -117,15 +156,11 @@ def main():
             params, cfg, sts, rngs, jnp.full((B,), 0.0, jnp.float32),
             jnp.full((B,), 3, jnp.int32), jnp.full((B,), max_steps, jnp.int32),
             scan_len)
-        return pcm
+        return pcm, valid
 
-    float(np.asarray(runb()).ravel()[0])  # compile
-    reps_b = 2
-    t0 = time.perf_counter()
-    for _ in range(reps_b):
-        float(np.asarray(runb()).ravel()[0])
-    dtb = time.perf_counter() - t0
-    fps_batch = frames * B * reps_b / dtb
+    fetch(runb())  # compile + warm
+    dmsb, wallb = device_ms(runb, fetch)
+    fps_batch = frames * B / (dmsb / 1e3)
 
     print(json.dumps({
         "metric": "decode_frames_per_second",
@@ -138,9 +173,12 @@ def main():
         "compile_s": round(compile_s, 2),
         "batch32_frames_per_second": round(fps_batch, 2),
         "batch32_rtf": round(fps_batch / cfg.mimi.frame_rate, 2),
+        "wall_fps_single": round(frames / wall, 2),
+        "wall_fps_batch32": round(frames * B / wallb, 2),
         "dtype": "bfloat16",
         "device": str(dev),
         "batch": 1,
+        "timing": "device (jax.profiler trace); wall_* include tunnel RTT",
     }))
     return 0
 

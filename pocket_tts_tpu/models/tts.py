@@ -110,7 +110,10 @@ def frame_step(p, cfg: ModelConfig, state: StreamState, rng, temp,
     # KV slot budget exhausted: the CURRENT frame's slot was still in
     # bounds, so it is emitted; only future frames stop. (The reference
     # leaves this overflow unhandled — src/pocket_tts.cpp:425 TODO.)
-    done_next = stop | (fstate.end >= cfg.backbone.kv_capacity)
+    # Capacity comes from the cache shape: sentences run on shrunk slot
+    # budgets (backbone.shrink_state).
+    capacity = fstate.k[0].shape[-3]
+    done_next = stop | (fstate.end >= capacity)
     mimi_in = flow_lm.denormalize(p, latent)
     mstate, pcm = mimi.decode_frame(p["mimi"], cfg.mimi, state.mimi,
                                     mimi_in, cfg.gelu_approx)

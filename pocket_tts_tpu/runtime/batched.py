@@ -173,16 +173,18 @@ class BatchedEngine:
         tokens = jnp.asarray(np.stack([
             np.pad(np.asarray(i, np.int32), (0, tp - len(i))) for i in ids]))
         n_valid = jnp.asarray([len(i) for i in ids], jnp.int32)
+        max_steps = np.asarray(
+            [int((count_words(t) + 2.0) * eng.cfg.mimi.frame_rate)
+             for t, _ in prepared], np.int32)
+        cap = eng._sentence_capacity(tp, int(max_steps.max()))
+        if cap < eng.cfg.backbone.kv_capacity:
+            voice_states = backbone.shrink_state(voice_states, cap)
         states = batched_sentence_prefill(
             eng.params, eng.cfg, voice_states, eng._mimi_template, tokens,
             n_valid)
         if self.mesh is not None:
             from ..parallel.sharding import shard_batched_state
             states = shard_batched_state(states, self.mesh)
-
-        max_steps = np.asarray(
-            [int((count_words(t) + 2.0) * eng.cfg.mimi.frame_rate)
-             for t, _ in prepared], np.int32)
         fae = jnp.asarray([g + 2 for _, g in prepared], jnp.int32)
         scan_len = -(-int(max_steps.max()) // _SCAN_BUCKET) * _SCAN_BUCKET
         rngs = jnp.stack([eng._next_rng() for _ in range(b)])

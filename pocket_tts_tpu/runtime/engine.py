@@ -80,6 +80,10 @@ class TTSEngine:
             tokenizer = load_tokenizer(tok_path, cfg.lut.n_bins)
         self.tokenizer = tokenizer
         self._mimi_template = mimi.init_state(cfg.mimi, dtype)
+        # per-sentence KV slot budgets are bucketed as
+        # prompt_slot_budget + text_pad + max_steps (see _sentence_capacity);
+        # attention reads scale with this, so over-provisioning is pure cost
+        self.prompt_slot_budget = min(256, cfg.backbone.kv_capacity)
 
     # -- identity ----------------------------------------------------------
     @property
@@ -128,19 +132,35 @@ class TTSEngine:
         cap = self.cfg.backbone.kv_capacity
         step = min(_PROMPT_BUCKET, max(16, cap // 8))
         tp = _bucket(n, tuple(range(step, cap + 1, step)))
+        if tp > self.prompt_slot_budget:
+            raise ValueError(
+                f"voice prompt needs {tp} slots > prompt_slot_budget "
+                f"{self.prompt_slot_budget}; raise it on the engine")
         prompt = jnp.pad(prompt, ((0, tp - n), (0, 0)))
         state = backbone.init_state(self.cfg.backbone, self.dtype)
         return tts.jit_prime_voice(self.params, self.cfg, state, prompt,
                                    jnp.int32(n))
 
-    def _prefill_sentence(self, voice_state, text: str) -> tts.StreamState:
+    def _sentence_capacity(self, token_pad: int, max_steps: int) -> int:
+        """Smallest 128-multiple slot budget covering this sentence."""
+        need = self.prompt_slot_budget + token_pad + max_steps + 8
+        cap = -(-need // 128) * 128
+        return min(cap, self.cfg.backbone.kv_capacity)
+
+    def _prefill_sentence(self, voice_state, text: str):
+        """Returns (StreamState, max_steps)."""
         ids = self.tokenizer.encode(text)
         n = len(ids)
         tp = _bucket(n)
+        max_steps = int((count_words(text) + 2.0) * self.cfg.mimi.frame_rate)
+        cap = self._sentence_capacity(tp, max_steps)
+        if cap < self.cfg.backbone.kv_capacity:
+            voice_state = backbone.shrink_state(voice_state, cap)
         tokens = jnp.asarray(np.pad(np.asarray(ids, np.int32), (0, tp - n)))
-        return tts.jit_sentence_prefill(
+        state = tts.jit_sentence_prefill(
             self.params, self.cfg, voice_state, self._mimi_template, tokens,
             jnp.int32(n))
+        return state, max_steps
 
     # -- streaming ---------------------------------------------------------
     def open_stream(self, voice, temp: float = 0.7) -> "Stream":
@@ -151,8 +171,7 @@ class TTSEngine:
                             frames_after_eos: int) -> np.ndarray:
         """One prepared sentence -> PCM float array, fully on device; the
         decode while-loop exits as soon as EOS + frames_after_eos is hit."""
-        state = self._prefill_sentence(voice_state, text)
-        max_steps = int((count_words(text) + 2.0) * self.cfg.mimi.frame_rate)
+        state, max_steps = self._prefill_sentence(voice_state, text)
         scan_len = -(-max_steps // _SCAN_BUCKET) * _SCAN_BUCKET
         _, pcm, valid = tts.jit_decode_sentence_early_exit(
             self.params, self.cfg, state, self._next_rng(),
@@ -213,9 +232,8 @@ class Stream:
 
     def _sentence_init(self, text: str, frames_after_eos: int):
         eng = self.engine
-        self.state = eng._prefill_sentence(self.voice_state, text)
-        self.max_gen_len = int((count_words(text) + 2.0)
-                               * eng.cfg.mimi.frame_rate)
+        self.state, self.max_gen_len = eng._prefill_sentence(
+            self.voice_state, text)
         self._frames_after_eos = frames_after_eos
         self._rng = eng._next_rng()
         self._nstep = 0

@@ -113,18 +113,21 @@ class MultiStreamServer:
             [np.pad(np.asarray(i, np.int32), (0, tp - len(i)))
              for i in ids]))
         n_valid = jnp.asarray([len(i) for i in ids], jnp.int32)
+        max_steps_np = np.asarray(
+            [int((count_words(t) + 2.0) * eng.cfg.mimi.frame_rate)
+             for t, _ in prepared], np.int32)
 
+        vstates = self._gather_voice_states([r.voice for r in reqs])
+        cap = eng._sentence_capacity(tp, int(max_steps_np.max()))
+        if cap < eng.cfg.backbone.kv_capacity:
+            vstates = backbone.shrink_state(vstates, cap)
         states = batched_sentence_prefill(
-            eng.params, eng.cfg, self._gather_voice_states(
-                [r.voice for r in reqs]),
-            eng._mimi_template, tokens, n_valid)
+            eng.params, eng.cfg, vstates, eng._mimi_template, tokens, n_valid)
         if self.mesh is not None:
             from ..parallel.sharding import shard_batched_state
             states = shard_batched_state(states, self.mesh)
 
-        max_steps = jnp.asarray(
-            [int((count_words(t) + 2.0) * eng.cfg.mimi.frame_rate)
-             for t, _ in prepared], jnp.int32)
+        max_steps = jnp.asarray(max_steps_np)
         fae = jnp.asarray([g + 2 for _, g in prepared], jnp.int32)
         temps = jnp.asarray([r.temp for r in reqs], jnp.float32)
         rngs = jnp.stack([eng._next_rng() for _ in range(b)])

@@ -26,7 +26,7 @@ class TestEarlyExit:
         eng = make_engine()
         voice = random_voice_prompt(CFG, 16)
         vstate = eng.prime_voice(voice)
-        state = eng._prefill_sentence(vstate, "Early exit must match scan.")
+        state, _ = eng._prefill_sentence(vstate, "Early exit must match scan.")
         rng = jax.random.PRNGKey(7)
         args = (jnp.float32(0.9), jnp.int32(3), jnp.int32(40), 50)
         _, pcm_a, val_a = tts.jit_decode_sentence(
@@ -43,9 +43,10 @@ class TestEarlyExit:
         eng = make_engine()
         voice = random_voice_prompt(CFG, 16)
         vstate = eng.prime_voice(voice)
-        state = eng._prefill_sentence(vstate, "Overrun the cache now.")
+        state, _ = eng._prefill_sentence(vstate, "Overrun the cache now.")
         end0 = int(state.flow.end)
-        room = CFG.backbone.kv_capacity - end0
+        # capacity comes from the (possibly shrunk) cache shape
+        room = state.flow.k[0].shape[-3] - end0
         rng = jax.random.PRNGKey(0)
         _, pcm, valid = tts.jit_decode_sentence(
             eng.params, eng.cfg, state, rng, jnp.float32(0.0), jnp.int32(3),
