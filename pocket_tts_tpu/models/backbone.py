@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import BackboneConfig
-from ..ops.attention import cache_insert_linear, pos_cache_bias, sdpa
+from ..ops.attention import (cache_insert_linear, pos_cache_bias, sdpa,
+                             sdpa_decode_seg)
 from ..ops.basic import gelu, layer_norm, linear
 from ..ops.rope import apply_rope, rope_cos_sin
 
@@ -35,15 +36,18 @@ class BackboneState:
     # dynamic_update_slice aliases its buffer in place — a stacked array
     # threaded through a layer-scan would be fully re-materialized (xs slice
     # + ys stack) every frame, which at batch 32 is GBs of HBM traffic.
-    k: tuple          # L x (S, H, Dh)
-    v: tuple          # L x (S, H, Dh)
+    # Rows are stored FLAT (S, H*Dh): the decode attention matmuls consume
+    # that layout directly; reshaping a cache inside jit breaks in-place
+    # aliasing and was measured as 12 full-cache copies per frame.
+    k: tuple          # L x (S, H*Dh)
+    v: tuple          # L x (S, H*Dh)
     pos: jax.Array      # (S,) int32 — absolute position per slot, -1 invalid
     end: jax.Array      # () int32 — next write slot (batch-uniform)
     next_pos: jax.Array  # () int32 — next absolute position (per-stream)
 
 
 def init_state(cfg: BackboneConfig, dtype=jnp.float32) -> BackboneState:
-    shape = (cfg.kv_capacity, cfg.num_heads, cfg.head_dim)
+    shape = (cfg.kv_capacity, cfg.num_heads * cfg.head_dim)
     return BackboneState(
         k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
         v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
@@ -70,18 +74,32 @@ def _layer(p, x, k_cache, v_cache, end, cos, sin, bias, pos_vec,
     v = v.reshape(t, num_heads, dm // num_heads)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    k_cache = cache_insert_linear(k_cache, k, end)
-    v_cache = cache_insert_linear(v_cache, v, end)
+    s_cap = k_cache.shape[-2]
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k.reshape(t, dm).astype(k_cache.dtype), (end, 0))
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v.reshape(t, dm).astype(v_cache.dtype), (end, 0))
     if pallas_mode != "off" and t == 1:
         from ..ops.pallas_attn import decode_attention
         attn = decode_attention(
             q[0], k_cache, v_cache, pos_vec, end,
             interpret=(pallas_mode == "interpret"))[None]
+    elif t == 1:
+        # MXU-matmul formulation over the flat cache — the natural einsum
+        # lowers to VPU multiply-reduce far below memory bandwidth at T=1
+        attn = sdpa_decode_seg(q, k_cache.astype(q.dtype),
+                               v_cache.astype(q.dtype), bias)
     else:
+        # prefill: reshape copies the cache once per prefill call —
+        # acceptable off the per-frame path.
         # NOTE: a lax.switch over static cache prefixes (read only the live
         # region) was measured 1.8x SLOWER batched — XLA copies the sliced
         # cache into each branch. Dynamic-length reads need Pallas.
-        attn = sdpa(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+        attn = sdpa(q,
+                    k_cache.reshape(s_cap, num_heads,
+                                    dm // num_heads).astype(q.dtype),
+                    v_cache.reshape(s_cap, num_heads,
+                                    dm // num_heads).astype(q.dtype),
                     bias)
     x = x + linear(p["out_proj"], attn.reshape(t, dm))
     h = layer_norm(p["norm2"], x, eps=1e-5)
@@ -133,8 +151,8 @@ def shrink_state(state: BackboneState, capacity: int) -> BackboneState:
     the array shapes.
     """
     return state.replace(
-        k=tuple(k[..., :capacity, :, :] for k in state.k),
-        v=tuple(v[..., :capacity, :, :] for v in state.v),
+        k=tuple(k[..., :capacity, :] for k in state.k),
+        v=tuple(v[..., :capacity, :] for v in state.v),
         pos=state.pos[..., :capacity],
     )
 

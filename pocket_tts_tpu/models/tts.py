@@ -112,7 +112,7 @@ def frame_step(p, cfg: ModelConfig, state: StreamState, rng, temp,
     # leaves this overflow unhandled — src/pocket_tts.cpp:425 TODO.)
     # Capacity comes from the cache shape: sentences run on shrunk slot
     # budgets (backbone.shrink_state).
-    capacity = fstate.k[0].shape[-3]
+    capacity = fstate.k[0].shape[-2]
     done_next = stop | (fstate.end >= capacity)
     mimi_in = flow_lm.denormalize(p, latent)
     mstate, pcm = mimi.decode_frame(p["mimi"], cfg.mimi, state.mimi,

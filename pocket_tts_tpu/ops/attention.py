@@ -35,6 +35,40 @@ def sdpa(q, k, v, bias=None):
     return out.astype(q.dtype)
 
 
+def sdpa_decode_seg(q, k, v, bias):
+    """T=1 decode attention formulated as two MXU matmuls.
+
+    XLA lowers the natural per-head contractions ('thd,shd->hts') to VPU
+    multiply+lane-reduce fusions that run far below memory bandwidth — at
+    decode they dominate frame time. Reformulated against a constant
+    head-segment mask, both contractions become (S, H*D)-shaped matmuls that
+    stream the caches through the MXU at full bandwidth (16x redundant
+    FLOPs, which are free here).
+
+    q: (1, H, D); k/v: FLAT caches (S, H*D) — reshaping a cache here would
+    copy it and break in-place update aliasing; bias: (1, S).
+    Returns (1, H, D), numerically equivalent to sdpa().
+    """
+    _, h, d = q.shape
+    s, hd = k.shape
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1)
+    head = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
+    seg = (lane // d == head).astype(k.dtype)          # (H, H*D) constant
+
+    k2 = k
+    v2 = v
+    qmask = q.reshape(1, hd) * seg                      # (H, H*D)
+    logits = jnp.dot(k2, qmask.T,
+                     preferred_element_type=jnp.float32) * scale  # (S, H)
+    logits = logits + bias.reshape(s, 1)
+    w = jax.nn.softmax(logits, axis=0)                  # (S, H)
+    out_full = jnp.dot(w.T.astype(v2.dtype), v2,
+                       preferred_element_type=jnp.float32)  # (H, H*D)
+    out = jnp.sum(out_full * seg.astype(jnp.float32), axis=0)  # (H*D,)
+    return out.reshape(1, h, d).astype(q.dtype)
+
+
 def causal_cache_bias(t: int, s: int, end):
     """Additive bias for a *linear* (non-ring) KV cache of capacity s after
     writing t new entries at position `end`.

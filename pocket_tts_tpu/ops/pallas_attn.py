@@ -121,9 +121,10 @@ def _decode_attn_kernel(end_ref, q_ref, pos_ref, k_hbm, v_hbm, out_ref,
 def _decode_attention_batched(q, k_cache, v_cache, pos, end,
                               block_size: int = 128,
                               interpret: bool = False):
-    """q: (B, H, D); k/v_cache: (B, S, H, D); pos: (B, S); end: () shared.
-    Returns (B, H, D)."""
-    bsz, s, h, d = k_cache.shape
+    """q: (B, H, D); k/v_cache: (B, S, H*D) flat; pos: (B, S); end: ()
+    shared. Returns (B, H, D)."""
+    bsz, h, d = q.shape
+    s = k_cache.shape[1]
     assert s % block_size == 0, (s, block_size)
     nb = s // block_size
     kernel = functools.partial(
@@ -151,8 +152,7 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
     )(jnp.asarray(end, jnp.int32).reshape(1),
       q.reshape(bsz, 1, h * d),
       pos.reshape(bsz, nb, block_size),
-      k_cache.reshape(bsz, s, h * d),
-      v_cache.reshape(bsz, s, h * d))
+      k_cache, v_cache)
     return out.reshape(bsz, h, d)
 
 
@@ -186,9 +186,13 @@ def _make_decode_attention(block_size: int, interpret: bool):
 
 def decode_attention(q, k_cache, v_cache, pos, end, block_size: int = 128,
                      interpret: bool = False):
-    """q: (H, D) single query; k/v_cache: (S, H, D); pos: (S,) int32
-    (-1 = invalid); end: () int32 last written slot index (batch-uniform
-    under vmap). Returns (H, D) attention output (same semantics as
-    sdpa(q[None], cache, cache, bias-from-pos)[0])."""
+    """q: (H, D) single query; k/v_cache: (S, H, D) or flat (S, H*D);
+    pos: (S,) int32 (-1 = invalid); end: () int32 last written slot index
+    (batch-uniform under vmap). Returns (H, D) attention output (same
+    semantics as sdpa(q[None], cache, cache, bias-from-pos)[0])."""
+    if k_cache.ndim == 3:
+        s = k_cache.shape[0]
+        k_cache = k_cache.reshape(s, -1)
+        v_cache = v_cache.reshape(s, -1)
     return _make_decode_attention(block_size, interpret)(
         q, k_cache, v_cache, pos, jnp.asarray(end, jnp.int32))

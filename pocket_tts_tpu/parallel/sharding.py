@@ -62,8 +62,11 @@ def _spec_for_state(path: str, ndim: int) -> P:
     dim (axis -2 of (B, L, S, H, Dh)) over "model"."""
     if ndim == 0:
         return P()
-    if ndim >= 4 and (".k[" in path or ".v[" in path):
-        # batched cache (B, S, H, Dh): heads shard over "model"
+    if ndim >= 3 and (".k[" in path or ".v[" in path):
+        # batched flat cache (B, S, H*Dh) or (B, cap, H, Dh): shard the
+        # head-carrying trailing dims over "model"
+        if ndim == 3:
+            return P("data", None, "model")
         return P("data", None, "model", *([None] * (ndim - 3)))
     return P("data", *([None] * (ndim - 1)))
 

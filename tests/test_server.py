@@ -46,7 +46,7 @@ class TestEarlyExit:
         state, _ = eng._prefill_sentence(vstate, "Overrun the cache now.")
         end0 = int(state.flow.end)
         # capacity comes from the (possibly shrunk) cache shape
-        room = state.flow.k[0].shape[-3] - end0
+        room = state.flow.k[0].shape[-2] - end0
         rng = jax.random.PRNGKey(0)
         _, pcm, valid = tts.jit_decode_sentence(
             eng.params, eng.cfg, state, rng, jnp.float32(0.0), jnp.int32(3),
