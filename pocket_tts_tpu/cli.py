@@ -63,7 +63,6 @@ def main(argv=None):
     if args.device:
         os.environ["JAX_PLATFORMS"] = args.device
     import jax
-    import jax.numpy as jnp
 
     if args.list_devices:
         for d in jax.devices():

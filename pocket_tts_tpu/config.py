@@ -7,7 +7,6 @@ dataclasses so tests can instantiate tiny variants.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

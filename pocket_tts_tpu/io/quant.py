@@ -10,7 +10,6 @@ metadata.
 from __future__ import annotations
 
 import json
-from typing import Tuple
 
 import numpy as np
 import jax

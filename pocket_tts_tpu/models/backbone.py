@@ -23,8 +23,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import BackboneConfig
-from ..ops.attention import (cache_insert_linear, pos_cache_bias, sdpa,
-                             sdpa_decode_seg)
+from ..ops.attention import pos_cache_bias, sdpa, sdpa_decode_seg
 from ..ops.basic import gelu, layer_norm, linear
 from ..ops.rope import apply_rope, rope_cos_sin
 

@@ -20,7 +20,6 @@ Params:
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..config import ModelConfig
 from . import backbone, flow_mlp

@@ -12,8 +12,6 @@ ref orchestration: /root/reference/src/pocket_tts.cpp:40-124,416-519.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import struct

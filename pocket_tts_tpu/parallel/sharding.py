@@ -8,7 +8,7 @@ is no hand-written communication code, by design.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax

@@ -12,13 +12,12 @@ masks.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import ModelConfig
 from ..models import backbone, flow_lm, mimi, tts
 from ..text.preprocess import count_words, prepare_text_prompt
 from .engine import TTSEngine, _bucket, _SCAN_BUCKET

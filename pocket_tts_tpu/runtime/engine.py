@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import ModelConfig, DEFAULT_CONFIG
+from ..config import ModelConfig
 from ..io import params as params_io
 from ..models import backbone, mimi, tts
 from ..text.preprocess import (StrProcessor, count_words,
