@@ -63,7 +63,14 @@ class MimiTransformerConfig:
     num_layers: int = 2
     hidden_dim: int = 2048
     context: int = 250
-    capacity: int = 250
+    # ring capacity: the reference uses 250 (= context); rounded up to a
+    # multiple of the 16-step frame so the ring insert is a contiguous,
+    # in-place dynamic_update_slice (a scatter copies the whole cache every
+    # frame). The attention window is still `context`; the only semantic
+    # delta is that queries early in a block can see up to 6 slots the
+    # reference's ring had already overwritten — i.e. closer to the true
+    # 250-step sliding window.
+    capacity: int = 256
     max_period: int = 10000
     # eps=0 LayerNorm (defaults.h:14,32)
     norm_eps: float = 0.0
@@ -151,7 +158,7 @@ def tiny_config(seed_dims: int = 16) -> ModelConfig:
             latent_dim=8, dim=2 * d,
             transformer=MimiTransformerConfig(
                 d_model=2 * d, num_heads=2, num_layers=2, hidden_dim=4 * d,
-                context=40, capacity=40),
+                context=40, capacity=48),
             seanet=SeanetConfig(
                 in_ch=2 * d,
                 stages=(

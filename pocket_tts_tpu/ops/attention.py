@@ -141,9 +141,18 @@ def cache_insert_linear(cache, new, end):
 def cache_insert_ring(cache, new, offset):
     """Write `new` (T, H, D) into ring cache (cap, H, D) at rows
     (offset+i) % cap. ref: moshi_kv_cache_insert_kv (set_rows variant),
-    mimi_transformer.h:238-249."""
+    mimi_transformer.h:238-249.
+
+    When cap is a multiple of T (the configs guarantee this) the block never
+    wraps and the insert is one contiguous dynamic_update_slice, which XLA
+    aliases in place — a row scatter copies the whole cache every step.
+    """
     cap = cache.shape[0]
     t = new.shape[0]
+    if cap % t == 0:
+        start = jnp.asarray(offset, jnp.int32) % cap
+        return jax.lax.dynamic_update_slice(
+            cache, new.astype(cache.dtype), (start,) + (0,) * (cache.ndim - 1))
     idx = (offset + jnp.arange(t, dtype=jnp.int32)) % cap
     return cache.at[idx].set(new.astype(cache.dtype))
 
