@@ -77,10 +77,12 @@ def forward(p, c, x, t_combined=None):
     h = linear(p["input_proj"], x)
     y = t_combined + linear(p["cond_embed"], c)
 
-    def body(h, block_p):
-        return res_block(block_p, h, y), None
-
-    h, _ = jax.lax.scan(body, h, p["res_blocks"])
+    # unrolled over depth: the blocks are tiny (512-d matvecs) and a scan's
+    # per-iteration dispatch costs more than it saves
+    depth = jax.tree.leaves(p["res_blocks"])[0].shape[0]
+    for i in range(depth):
+        block_p = jax.tree.map(lambda w: w[i], p["res_blocks"])
+        h = res_block(block_p, h, y)
     return final_layer(p["final"], h, y)
 
 
