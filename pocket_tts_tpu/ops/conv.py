@@ -79,23 +79,27 @@ def conv_transpose1d(p, x, stride: int, include_bias: bool = True):
     w = p["w"]  # (Cin, Cout, K)
     cin, cout, k = w.shape
     t = x.shape[-1]
-    # u[j, o, i] = sum_c w[c, o, j] * x[c, i]
-    u = jnp.einsum("coj,ct->jot", w, x,
-                   preferred_element_type=jnp.float32).astype(x.dtype)
     lout = (t - 1) * stride + k
     if k == 2 * stride:
         # every convtr in this model has K == 2*stride; output position
-        # i*s + j gets exactly u[j, :, i] + u[j+s, :, i-1]
+        # i*s + j gets exactly u[o, i, j] + u[o, i-1, j+s]. The (Cout, T, K)
+        # einsum layout lets the result reshape to the time axis with no
+        # transpose (a transpose here materialized multi-MB copies per
+        # frame under vmap).
         s = stride
-        a = u[:s]                      # (s, Cout, T)
-        b = u[s:]                      # (s, Cout, T)
+        u = jnp.einsum("coj,ct->otj", w, x,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        a = u[..., :s]                 # (Cout, T, s)
+        b = u[..., s:]                 # (Cout, T, s)
         ypad = (
-            jnp.pad(a, ((0, 0), (0, 0), (0, 1)))
-            + jnp.pad(b, ((0, 0), (0, 0), (1, 0)))
-        )  # (s, Cout, T+1)
-        y = ypad.transpose(1, 2, 0).reshape(cout, (t + 1) * s)[:, :lout]
+            jnp.pad(a, ((0, 0), (0, 1), (0, 0)))
+            + jnp.pad(b, ((0, 0), (1, 0), (0, 0)))
+        )  # (Cout, T+1, s)
+        y = ypad.reshape(cout, (t + 1) * s)[:, :lout]
     else:
         # general overlap-add scatter
+        u = jnp.einsum("coj,ct->jot", w, x,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
         y = jnp.zeros((cout, lout), dtype=x.dtype)
         for j in range(k):
             y = y.at[:, j : j + t * stride : stride].add(u[j])
