@@ -51,7 +51,8 @@ class TTSEngine:
                  params: Optional[dict] = None,
                  cfg: Optional[ModelConfig] = None,
                  dtype=jnp.float32, seed: int = 0,
-                 tokenizer=None, quantize: Optional[str] = None):
+                 tokenizer=None, quantize: Optional[str] = None,
+                 allow_mock_tokenizer: bool = False):
         """Load weights (ptts_init analog, src/pocket_tts.cpp:273-322).
 
         quantize: None or "int8" — per-channel int8 linear weights, the
@@ -75,9 +76,15 @@ class TTSEngine:
         self._key = jax.random.PRNGKey(seed)
         self._sentence_counter = 0
         if tokenizer is None:
-            tok_path = os.path.join(model_path or ".",
-                                    cfg.lut.tokenizer_path)
-            tokenizer = load_tokenizer(tok_path, cfg.lut.n_bins)
+            if model_path is not None:
+                # checkpoint-directory load: the release ships
+                # tokenizer.model next to the weights — require it unless
+                # the caller explicitly opts into the mock
+                tok_path = os.path.join(model_path, cfg.lut.tokenizer_path)
+                tokenizer = load_tokenizer(tok_path, cfg.lut.n_bins,
+                                           allow_mock=allow_mock_tokenizer)
+            else:
+                tokenizer = load_tokenizer(None, cfg.lut.n_bins)
         self.tokenizer = tokenizer
         self._mimi_template = mimi.init_state(cfg.mimi, dtype)
         # per-sentence KV slot budgets are bucketed as
@@ -163,7 +170,7 @@ class TTSEngine:
         return state, max_steps
 
     # -- streaming ---------------------------------------------------------
-    def open_stream(self, voice, temp: float = 0.7) -> "Stream":
+    def open_stream(self, voice, temp: float = 0.6) -> "Stream":
         return Stream(self, self.prime_voice(voice), temp)
 
     # -- offline (scan) ----------------------------------------------------
@@ -181,7 +188,7 @@ class TTSEngine:
         n = int(np.asarray(valid).sum())
         return pcm[:n].reshape(-1)
 
-    def synthesize(self, text: str, voice, temp: float = 0.7) -> np.ndarray:
+    def synthesize(self, text: str, voice, temp: float = 0.6) -> np.ndarray:
         """Multi-sentence offline synthesis.
         ref: generate_audio, src/pocket_tts.cpp:189-213."""
         voice_state = voice if isinstance(voice, backbone.BackboneState) \
@@ -195,7 +202,7 @@ class TTSEngine:
         return np.concatenate(out) if out else np.zeros(0, np.float32)
 
     def synthesize_to_wav(self, text: str, voice, path: str,
-                          temp: float = 0.7):
+                          temp: float = 0.6):
         from ..io.wav import save_wav
         pcm = self.synthesize(text, voice, temp)
         save_wav(path, pcm, self.sample_rate)

@@ -1,34 +1,39 @@
 """Tokenizer front-end.
 
 The real model uses a SentencePiece unigram tokenizer
-(ref: src/config.h:19-20, conditioners/text.h:10-27). `sentencepiece` is an
-optional dependency here; when it (or the .model file) is unavailable, a
-deterministic word/punct fallback keeps the rest of the pipeline — including
-the EOS-token sentence-splitting protocol — fully testable.
+(ref: src/config.h:19-20, conditioners/text.h:10-27). The execution path is
+the self-contained parser+Viterbi in `spm.py` (no pip dependency); a
+deterministic word/punct fallback (`MockTokenizer`) exists ONLY for
+random-weights runs and tests. `load_tokenizer` fails loudly when a model
+file should exist but can't be used — real weights must never silently pair
+with the mock.
 """
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 from typing import List
 
+from .spm import UnigramTokenizer
+
 
 class SentencePieceTokenizer:
+    """Real tokenizer over a `tokenizer.model` file (self-contained spm)."""
+
     def __init__(self, model_path: str):
-        try:
-            import sentencepiece as spm  # type: ignore
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError(
-                "sentencepiece is not installed; use MockTokenizer or install "
-                "sentencepiece") from e
-        self._sp = spm.SentencePieceProcessor()
-        self._sp.Load(model_path)
+        self._sp = UnigramTokenizer.from_file(model_path)
+        self.model_path = model_path
 
     def encode(self, text: str) -> List[int]:
-        return list(self._sp.EncodeAsIds(text))
+        return self._sp.encode(text)
 
     def decode(self, ids: List[int]) -> str:
-        return self._sp.DecodeIds(list(ids))
+        return self._sp.decode(list(ids))
+
+    @property
+    def vocab_size(self) -> int:
+        return self._sp.vocab_size
 
 
 class MockTokenizer:
@@ -84,13 +89,24 @@ class MockTokenizer:
         return out
 
 
-def load_tokenizer(model_path=None, n_bins: int = 4000):
-    """Return a SentencePiece tokenizer if possible, else the mock."""
-    if model_path:
-        import os
-        if os.path.exists(model_path):
-            try:
-                return SentencePieceTokenizer(model_path)
-            except RuntimeError:
-                pass
-    return MockTokenizer(n_bins)
+def load_tokenizer(model_path=None, n_bins: int = 4000,
+                   allow_mock: bool = False):
+    """Load the real tokenizer; fail LOUDLY instead of degrading.
+
+    - model_path exists      -> parse it; parse errors propagate (a corrupt
+                                or non-unigram model must never silently
+                                become the mock).
+    - model_path missing     -> FileNotFoundError, unless allow_mock=True
+                                (random-weights / test runs).
+    - model_path is None     -> MockTokenizer (explicitly mock-only mode).
+    """
+    if model_path is None:
+        return MockTokenizer(n_bins)
+    if os.path.exists(model_path):
+        return SentencePieceTokenizer(model_path)
+    if allow_mock:
+        return MockTokenizer(n_bins)
+    raise FileNotFoundError(
+        f"tokenizer model not found: {model_path}. Real weights require the "
+        "release tokenizer.model; pass tokenizer=MockTokenizer(...) or "
+        "allow_mock=True only for random-weight runs.")

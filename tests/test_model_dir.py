@@ -9,10 +9,10 @@ from pocket_tts_tpu.config import tiny_config
 from pocket_tts_tpu.io.params import random_flat
 from pocket_tts_tpu.io.safetensors_io import save_safetensors
 from pocket_tts_tpu.runtime.engine import TTSEngine
-from pocket_tts_tpu.text.tokenizer import MockTokenizer
+from pocket_tts_tpu.text.tokenizer import SentencePieceTokenizer
 
 
-def make_model_dir(tmp_path):
+def make_model_dir(tmp_path, tokenizer: bool = True):
     cfg0 = tiny_config()
     root = tmp_path / "kyutai" / "pocket-tts-without-voice-cloning"
     os.makedirs(root / "embeddings")
@@ -23,14 +23,17 @@ def make_model_dir(tmp_path):
               ).astype(np.float32)
     save_safetensors({"voice.audio_prompt": prompt},
                      str(root / "embeddings" / "cosette.safetensors"))
+    if tokenizer:
+        from _spm_fixture import write_ascii_model
+        write_ascii_model(str(root / "tokenizer.model"))
     return str(root), cfg0
 
 
 def test_engine_from_model_dir(tmp_path):
     root, cfg0 = make_model_dir(tmp_path)
+    # release layout ships tokenizer.model -> the REAL tokenizer path loads
     eng = TTSEngine(model_path=root, cfg=cfg0, seed=0)
-    # no tokenizer.model present -> deterministic fallback tokenizer
-    assert isinstance(eng.tokenizer, MockTokenizer)
+    assert isinstance(eng.tokenizer, SentencePieceTokenizer)
     assert eng.sample_rate == cfg0.mimi.sample_rate
     assert eng.frame_size == cfg0.mimi.frame_size
 
