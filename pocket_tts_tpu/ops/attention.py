@@ -69,20 +69,6 @@ def sdpa_decode_seg(q, k, v, bias):
     return out.reshape(1, h, d).astype(q.dtype)
 
 
-def causal_cache_bias(t: int, s: int, end):
-    """Additive bias for a *linear* (non-ring) KV cache of capacity s after
-    writing t new entries at position `end`.
-
-    Query i (absolute pos end+i) may attend slot j iff j <= end + i.
-    Slots beyond end+i hold either garbage padding or nothing; causality
-    excludes both. ref mask: transformer.h:157-169 (0 / -inf dense mask).
-    """
-    qi = jnp.arange(t, dtype=jnp.int32)[:, None]
-    kj = jnp.arange(s, dtype=jnp.int32)[None, :]
-    allowed = kj <= (end + qi)
-    return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
-
-
 def pos_cache_bias(q_pos, slot_pos):
     """Additive bias for a slot/position-decoupled cache.
 
@@ -132,12 +118,6 @@ def ring_cache_bias(t: int, capacity: int, offset, context: int):
     return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
 
 
-def cache_insert_linear(cache, new, end):
-    """Write `new` (T, H, D) into linear cache (S, H, D) at row `end`."""
-    return jax.lax.dynamic_update_slice(
-        cache, new.astype(cache.dtype), (end, 0, 0))
-
-
 def cache_insert_ring(cache, new, offset):
     """Write `new` (T, H, D) into ring cache (cap, H, D) at rows
     (offset+i) % cap. ref: moshi_kv_cache_insert_kv (set_rows variant),
@@ -155,45 +135,3 @@ def cache_insert_ring(cache, new, offset):
             cache, new.astype(cache.dtype), (start,) + (0,) * (cache.ndim - 1))
     idx = (offset + jnp.arange(t, dtype=jnp.int32)) % cap
     return cache.at[idx].set(new.astype(cache.dtype))
-
-
-# ---------------------------------------------------------------------------
-# head-major variants — the models' hot path.
-#
-# Caches live in HBM as (H, S, D) so the per-head attention matmuls contract
-# over contiguous panels without XLA inserting a full-cache transpose each
-# step (with (S, H, D) layout that transpose dominated batched decoding).
-# The tiny per-step activations (T <= 256) are transposed instead.
-# ---------------------------------------------------------------------------
-
-def sdpa_hm(q, k, v, bias=None):
-    """softmax(q k^T / sqrt(D) + bias) v, head-major.
-
-    q: (H, T, D), k/v: (H, S, D), bias: (T, S) additive or None.
-    Returns (H, T, D). Logits/softmax in float32.
-    """
-    d = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(jnp.float32(d))
-    logits = jnp.einsum("htd,hsd->hts", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    if bias is not None:
-        logits = logits + bias[None, :, :]
-    w = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("hts,hsd->htd", w.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
-
-
-def cache_insert_linear_hm(cache, new, end):
-    """Write `new` (H, T, D) into linear cache (H, S, D) at row `end`."""
-    return jax.lax.dynamic_update_slice(
-        cache, new.astype(cache.dtype), (0, end, 0))
-
-
-def cache_insert_ring_hm(cache, new, offset):
-    """Write `new` (H, T, D) into ring cache (H, cap, D) at rows
-    (offset+i) % cap."""
-    cap = cache.shape[1]
-    t = new.shape[1]
-    idx = (offset + jnp.arange(t, dtype=jnp.int32)) % cap
-    return cache.at[:, idx, :].set(new.astype(cache.dtype))

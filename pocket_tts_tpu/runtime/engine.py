@@ -16,6 +16,7 @@ step; XLA can't and shouldn't — SURVEY.md §7 hard part 1).
 from __future__ import annotations
 
 import os
+from collections import deque
 from typing import Optional
 
 import numpy as np
@@ -37,6 +38,7 @@ DEFAULT_VOICES = ["alba", "azelma", "cosette", "eponine", "fantine",
 _TOKEN_BUCKETS = (16, 32, 64, 128, 256)
 _PROMPT_BUCKET = 128
 _SCAN_BUCKET = 25  # frames (2 s of audio) granularity for offline scan
+MAX_SENTENCE_TOKENS = 50  # re-chunk budget, ref text.h:157-175
 
 
 def _bucket(n: int, buckets=_TOKEN_BUCKETS) -> int:
@@ -225,6 +227,7 @@ class Stream:
         self.max_gen_len = 0
         self._rng = None
         self._frames_after_eos = 0
+        self._pending: deque = deque()
         self.sproc.reset()
 
     def send(self, chunk: str):
@@ -258,6 +261,23 @@ class Stream:
             return None
         return np.asarray(pcm)
 
+    def _enqueue_chunks(self, text: str):
+        """Bound a popped sentence to the 50-token budget.
+
+        The streaming splitter imposes no token cap (a punctuation-free
+        run-on is exactly its input), so over-long sentences re-chunk the
+        same way the offline path does (text.h:126-177 analog) instead of
+        overflowing the KV bucket.
+        """
+        eng = self.engine
+        ids = eng.tokenizer.encode(text)
+        if len(ids) <= MAX_SENTENCE_TOKENS:
+            self._pending.append(text)
+        else:
+            self._pending.extend(
+                c for c in split_into_best_sentences(
+                    eng.tokenizer, text, MAX_SENTENCE_TOKENS) if c)
+
     def receive(self) -> Optional[np.ndarray]:
         """Next 80 ms PCM frame, or None if no audio is ready.
         ref: ptts_stream_receive, src/pocket_tts.cpp:494-519."""
@@ -265,8 +285,10 @@ class Stream:
             pcm = self._step()
             if pcm is not None:
                 return pcm
-        if self.sproc.sentences:
-            text = self.sproc.sentences.popleft()
+        if not self._pending and self.sproc.sentences:
+            self._enqueue_chunks(self.sproc.sentences.popleft())
+        if self._pending:
+            text = self._pending.popleft()
             n_words = count_words(text)
             guess = (3 if n_words <= 4 else 1) + 2
             self._sentence_init(text, guess)

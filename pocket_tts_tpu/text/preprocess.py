@@ -48,13 +48,28 @@ def prepare_text_prompt(text: str) -> Tuple[str, int]:
     return text, frames_after_eos_guess
 
 
+def hard_chunk_token_ids(tokenizer, ids: List[int],
+                         max_tokens: int = 50) -> List[str]:
+    """Force-split an over-long token run at plain token boundaries.
+
+    The reference never bounds a single sentence (text.h:157-175 only
+    groups whole sentences), so a punctuation-free run-on overflows its KV
+    cache (the unhandled TODO at src/pocket_tts.cpp:425). We instead slice
+    the ids into <= max_tokens windows and decode each back to text.
+    """
+    return [tokenizer.decode(ids[i:i + max_tokens]).strip()
+            for i in range(0, len(ids), max_tokens)]
+
+
 def split_into_best_sentences(tokenizer, text: str,
                               max_tokens: int = 50) -> List[str]:
     """Split on EOS token ids, then greedily re-chunk to <= max_tokens.
 
     ref: text.h:126-178 — EOS ids are encode(".!...?") minus its first
     token; sentences are token runs ending on an EOS id; chunks join
-    sentences with a space while the token budget allows.
+    sentences with a space while the token budget allows. Divergence: a
+    single sentence longer than max_tokens is hard-split (see
+    hard_chunk_token_ids) instead of passed through unbounded.
     """
     tokens = tokenizer.encode(text)
     eos_ids = tokenizer.encode(".!...?")[1:]
@@ -69,6 +84,15 @@ def split_into_best_sentences(tokenizer, text: str,
     chunks = [""]
     n_in_chunk = 0
     for toks in sentences:
+        if len(toks) > max_tokens:
+            if chunks[-1]:
+                chunks.append("")
+            hard = hard_chunk_token_ids(tokenizer, toks, max_tokens)
+            chunks[-1] = hard[0]
+            chunks.extend(hard[1:])
+            chunks.append("")
+            n_in_chunk = 0
+            continue
         if n_in_chunk != 0:
             if n_in_chunk + len(toks) > max_tokens:
                 n_in_chunk = 0
@@ -77,7 +101,7 @@ def split_into_best_sentences(tokenizer, text: str,
                 chunks[-1] += " "
         chunks[-1] += tokenizer.decode(toks)
         n_in_chunk += len(toks)
-    return chunks
+    return [c for c in chunks if c]
 
 
 class StrProcessor:

@@ -58,6 +58,31 @@ class TestLongForm:
         data, sr = load_wav(path)
         assert n > 0 and data.size == n * CFG.mimi.frame_size
 
+    def test_runon_sentence_streams_to_completion(self):
+        """A ~400-token punctuation-free ingest must re-chunk (VERDICT
+        weak #5): streaming routes over-long sentences through the
+        50-token splitter instead of raising on the 256 bucket."""
+        eng = make_engine()
+        runon = " ".join(f"word{i}" for i in range(300))  # no punctuation
+        assert len(eng.tokenizer.encode(runon)) > 256
+        voice = random_voice_prompt(CFG, 16)
+        stream = eng.open_stream(voice, temp=0.0)
+        stream.send(runon)
+        stream.flush()
+        frames = 0
+        while stream.receive() is not None:
+            frames += 1
+        # several 50-token chunks, each contributing frames
+        assert frames >= 4
+        assert not stream._pending and stream.state is None
+
+    def test_offline_runon_hard_chunks(self):
+        eng = make_engine()
+        runon = " ".join(f"item{i}" for i in range(120))
+        chunks = split_into_best_sentences(eng.tokenizer, runon + ".")
+        assert all(len(eng.tokenizer.encode(c)) <= 50 + 2 for c in chunks)
+        assert len(chunks) >= 3
+
     def test_server_on_mesh(self):
         """Cohort serving with GSPMD-sharded states on the 8-CPU mesh."""
         eng = make_engine()
