@@ -48,10 +48,13 @@ def build_parser():
     p.add_argument("--quantize", default=None, choices=["int8", "q8"],
                    help="int8 per-channel weight quantization")
     p.add_argument("--save-cache", default=None, metavar="PATH",
-                   help="save the (possibly quantized) params cache and exit "
-                        "(GGUF-conversion analog)")
+                   help="save the params cache (.safetensors or .gguf; the "
+                        "reference's GGUF-conversion pipeline)")
     p.add_argument("--load-cache", default=None, metavar="PATH",
-                   help="load params from a cache file")
+                   help="load params from a cache file (.safetensors/.gguf)")
+    p.add_argument("--gguf-quantize", default=None,
+                   choices=["q8_0", "q4_0"],
+                   help="ggml block quantization for --save-cache *.gguf")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
     return p
@@ -122,7 +125,8 @@ def main(argv=None):
     engine.set_seed(seed)
 
     if args.save_cache:
-        engine.save_params_cache(args.save_cache)
+        engine.save_params_cache(args.save_cache,
+                                 gguf_quantize=args.gguf_quantize)
         print(f"wrote params cache: {args.save_cache}")
         if text is None and not args.interactive:
             return 0

@@ -230,8 +230,14 @@ def params_from_flat(flat: Dict[str, np.ndarray],
 
 def load_checkpoint(path: str, cfg: Optional[ModelConfig] = None,
                     dtype=jnp.float32) -> Tuple[dict, ModelConfig]:
-    from .safetensors_io import load_safetensors
-    flat = load_safetensors(path)
+    """Load a checkpoint's flat tensor dict (safetensors or GGUF — the
+    reference's from_safetensor/from_gguf pair, src/loader.h:78-99)."""
+    if path.endswith(".gguf"):
+        from .gguf import read_gguf
+        flat, _ = read_gguf(path)
+    else:
+        from .safetensors_io import load_safetensors
+        flat = load_safetensors(path)
     return params_from_flat(flat, cfg, dtype)
 
 

@@ -70,26 +70,38 @@ def quantize_params(params) -> dict:
 # param cache: any params pytree <-> one safetensors file
 # ---------------------------------------------------------------------------
 
-def save_params_cache(params, path: str):
-    """Serialize a params pytree (quantized or not) to safetensors; the
-    pytree structure is recorded in header metadata for exact round-trip."""
-    from .safetensors_io import save_safetensors
+def save_params_cache(params, path: str, gguf_quantize=None):
+    """Serialize a params pytree (quantized or not) to a cache file; the
+    pytree structure is recorded in metadata for exact round-trip.
+
+    `.gguf` paths write the reference-interoperable GGUF container
+    (src/loader.h:228-272 analog); anything else writes safetensors."""
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
     tensors = {}
-    names = []
     for keypath, leaf in flat:
-        name = jax.tree_util.keystr(keypath)
-        names.append(name)
-        tensors[name] = np.asarray(leaf)
-    structure = _tree_skeleton(params)
-    save_safetensors(tensors, path,
-                     metadata={"pocket_tts_tree": json.dumps(structure)})
+        tensors[jax.tree_util.keystr(keypath)] = np.asarray(leaf)
+    structure = json.dumps(_tree_skeleton(params))
+    if path.endswith(".gguf"):
+        from .gguf import write_gguf
+        write_gguf(path, tensors, metadata={"pocket_tts.tree": structure},
+                   quantize=gguf_quantize)
+    else:
+        if gguf_quantize:
+            raise ValueError("gguf_quantize requires a .gguf path")
+        from .safetensors_io import save_safetensors
+        save_safetensors(tensors, path,
+                         metadata={"pocket_tts_tree": structure})
 
 
 def load_params_cache(path: str):
-    from .safetensors_io import load_safetensors
-    tensors, meta = load_safetensors(path, with_metadata=True)
-    structure = json.loads(meta["pocket_tts_tree"])
+    if path.endswith(".gguf"):
+        from .gguf import read_gguf
+        tensors, meta = read_gguf(path)
+        structure = json.loads(meta["pocket_tts.tree"])
+    else:
+        from .safetensors_io import load_safetensors
+        tensors, meta = load_safetensors(path, with_metadata=True)
+        structure = json.loads(meta["pocket_tts_tree"])
     flat = {k: jnp.asarray(np.asarray(v)) for k, v in tensors.items()}
     return _tree_unskeleton(structure, flat, "")
 

@@ -64,6 +64,12 @@ class TTSEngine:
         if params is None:
             ckpt = os.path.join(model_path or ".",
                                 "tts_b6369a24.safetensors")
+            if not os.path.exists(ckpt):
+                # GGUF-converted checkpoint fallback (from_gguf analog,
+                # src/loader.h:85-99)
+                gguf = os.path.join(model_path or ".", "tts_b6369a24.gguf")
+                if os.path.exists(gguf):
+                    ckpt = gguf
             params, cfg = params_io.load_checkpoint(ckpt, cfg, dtype)
         assert cfg is not None
         if quantize:
@@ -103,11 +109,13 @@ class TTSEngine:
     def frame_size(self) -> int:
         return self.cfg.mimi.frame_size
 
-    def save_params_cache(self, path: str):
+    def save_params_cache(self, path: str, gguf_quantize=None):
         """Persist the (possibly quantized) params pytree — the analog of
-        the reference's GGUF conversion/save (src/loader.h:228-272)."""
+        the reference's GGUF conversion/save (src/loader.h:228-272).
+        A .gguf path writes the interoperable GGUF container; gguf_quantize
+        ("q8_0"/"q4_0") applies ggml block quantization at write time."""
         from ..io.quant import save_params_cache
-        save_params_cache(self.params, path)
+        save_params_cache(self.params, path, gguf_quantize=gguf_quantize)
 
     @classmethod
     def from_params_cache(cls, path: str, cfg, **kw):
