@@ -57,6 +57,9 @@ def build_parser():
                    help="ggml block quantization for --save-cache *.gguf")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
+    p.add_argument("--reference-exact", action="store_true",
+                   help="ggml-reference-exact numerics (tanh GELU, -1e5 "
+                        "mask, 250-slot mimi ring) for A/B comparison")
     return p
 
 
@@ -95,9 +98,12 @@ def main(argv=None):
         args.model_root or os.environ.get("MODEL_CACHE", "."),
         "kyutai", "pocket-tts-without-voice-cloning")
 
-    from .config import DEFAULT_CONFIG
+    from .config import DEFAULT_CONFIG, reference_exact_config
     from .runtime.engine import TTSEngine
     from .io.wav import save_wav
+
+    base_cfg = (reference_exact_config(DEFAULT_CONFIG)
+                if args.reference_exact else DEFAULT_CONFIG)
 
     from .io.wav import StreamingWavWriter
     from .utils.profiling import FrameMeter, device_trace
@@ -106,7 +112,7 @@ def main(argv=None):
     if args.load_cache:
         from .io.quant import load_params_cache
         engine = TTSEngine(params=load_params_cache(args.load_cache),
-                           cfg=DEFAULT_CONFIG, seed=seed)
+                           cfg=base_cfg, seed=seed)
         voice = args.voice
     elif args.random_weights or not os.path.exists(
             os.path.join(model_path, "tts_b6369a24.safetensors")):
@@ -114,12 +120,13 @@ def main(argv=None):
             print(f"note: no checkpoint under {model_path}; "
                   "using random weights", file=sys.stderr)
         from .io.params import random_params, random_voice_prompt
-        params, cfg = random_params(DEFAULT_CONFIG)
+        params, cfg = random_params(base_cfg)
         engine = TTSEngine(params=params, cfg=cfg, seed=seed,
                            quantize=args.quantize)
         voice = random_voice_prompt(cfg)
     else:
         engine = TTSEngine(model_path=model_path, seed=seed,
+                           cfg=base_cfg if args.reference_exact else None,
                            quantize=args.quantize)
         voice = args.voice
     engine.set_seed(seed)

@@ -36,6 +36,10 @@ class BackboneConfig:
     # use the Pallas flash-decode attention kernel for T=1 steps (reads only
     # the live cache prefix); False falls back to plain XLA sdpa
     use_pallas_attn: bool = False
+    # additive bias for masked attention slots: -1e9 (ours, negligible after
+    # softmax) vs the reference's -1e5 "can't use infinity" hack
+    # (torch.h:124-143). A/B switch for real-weights bit comparison.
+    mask_value: float = -1e9
 
     @property
     def head_dim(self) -> int:
@@ -74,6 +78,8 @@ class MimiTransformerConfig:
     max_period: int = 10000
     # eps=0 LayerNorm (defaults.h:14,32)
     norm_eps: float = 0.0
+    # masked-slot bias; -1e5 in reference-exact mode (torch.h:141)
+    mask_value: float = -1e9
 
     @property
     def head_dim(self) -> int:
@@ -143,6 +149,31 @@ class ModelConfig:
     # default); the ggml reference uses the tanh approximation
     # (torch.h / ggml_gelu). Configurable for A/B numerics.
     gelu_approx: bool = False
+
+
+def reference_exact_config(base: "ModelConfig" = None) -> "ModelConfig":
+    """ggml-reference-exact numerics: the A/B switchboard for real-weights
+    bit comparison against the C++ build. Flips every documented divergence:
+
+    - tanh GELU (ggml_gelu) instead of erf (torch.h analog)
+    - mask bias -1e5 instead of -1e9 (torch.h:141)
+    - mimi ring capacity == context == 250 (defaults.h:5-7) — the insert
+      becomes a row scatter (slow path) but slot eviction order matches the
+      reference exactly.
+
+    Engine-level dtype (f32 vs bf16) stays a TTSEngine(dtype=...) choice.
+    """
+    base = base or DEFAULT_CONFIG
+    return dataclasses.replace(
+        base,
+        gelu_approx=True,
+        backbone=dataclasses.replace(base.backbone, mask_value=-1e5),
+        mimi=dataclasses.replace(
+            base.mimi,
+            transformer=dataclasses.replace(
+                base.mimi.transformer, mask_value=-1e5,
+                capacity=base.mimi.transformer.context)),
+    )
 
 
 def tiny_config(seed_dims: int = 16) -> ModelConfig:

@@ -128,7 +128,7 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
         bias = None
     else:
         pallas_mode = "off"
-        bias = pos_cache_bias(positions, pos_vec)
+        bias = pos_cache_bias(positions, pos_vec, neg=cfg.mask_value)
 
     k_new, v_new = [], []
     for l in range(cfg.num_layers):

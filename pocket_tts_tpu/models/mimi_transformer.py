@@ -73,7 +73,8 @@ def forward(p, cfg: MimiTransformerConfig, state: MimiTransformerState, x,
     t = x.shape[0]
     positions = state.offset + jnp.arange(t, dtype=jnp.int32)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.max_period)
-    bias = ring_cache_bias(t, cfg.capacity, state.offset, cfg.context)
+    bias = ring_cache_bias(t, cfg.capacity, state.offset, cfg.context,
+                           neg=cfg.mask_value)
 
     k_new, v_new = [], []
     for l in range(cfg.num_layers):

@@ -69,7 +69,7 @@ def sdpa_decode_seg(q, k, v, bias):
     return out.reshape(1, h, d).astype(q.dtype)
 
 
-def pos_cache_bias(q_pos, slot_pos):
+def pos_cache_bias(q_pos, slot_pos, neg: float = NEG_INF):
     """Additive bias for a slot/position-decoupled cache.
 
     Slots and absolute positions are decoupled so batched serving can write
@@ -83,7 +83,7 @@ def pos_cache_bias(q_pos, slot_pos):
     """
     pk = slot_pos[None, :]
     allowed = (pk >= 0) & (pk <= q_pos[:, None])
-    return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+    return jnp.where(allowed, 0.0, neg).astype(jnp.float32)
 
 
 def ring_positions(end_offset, capacity: int):
@@ -102,7 +102,8 @@ def ring_positions(end_offset, capacity: int):
     return jnp.where(valid, pos, -1)
 
 
-def ring_cache_bias(t: int, capacity: int, offset, context: int):
+def ring_cache_bias(t: int, capacity: int, offset, context: int,
+                    neg: float = NEG_INF):
     """Additive bias for the ring-buffer cache after inserting t entries at
     ring indices (offset+i) % capacity.
 
@@ -115,7 +116,7 @@ def ring_cache_bias(t: int, capacity: int, offset, context: int):
     pq = (offset + jnp.arange(t, dtype=jnp.int32))[:, None]     # (T, 1)
     delta = pq - pk
     allowed = (pk >= 0) & (delta >= 0) & (delta < context)
-    return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+    return jnp.where(allowed, 0.0, neg).astype(jnp.float32)
 
 
 def cache_insert_ring(cache, new, offset):
