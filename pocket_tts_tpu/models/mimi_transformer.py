@@ -33,6 +33,11 @@ class MimiTransformerState:
     k: tuple          # L x (cap, H, Dh)
     v: tuple          # L x (cap, H, Dh)
     offset: jax.Array  # () int32 — total timesteps seen (batch-uniform)
+    # first timestep owned by this stream: 0 solo; under continuous batching
+    # a lane joining a running batch records the shared offset at admission,
+    # making RoPE phases and the ring window relative to its own start (so
+    # its audio equals solo synthesis). Per-stream under vmap.
+    start: jax.Array   # () int32
 
 
 def init_state(cfg: MimiTransformerConfig, dtype=jnp.float32):
@@ -41,6 +46,7 @@ def init_state(cfg: MimiTransformerConfig, dtype=jnp.float32):
         k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
         v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
         offset=jnp.zeros((), jnp.int32),
+        start=jnp.zeros((), jnp.int32),
     )
 
 
@@ -71,10 +77,11 @@ def forward(p, cfg: MimiTransformerConfig, state: MimiTransformerState, x,
     """x: (T, d_model) -> (new_state, y). Advances offset by T
     (ref: mimi_transformer.h:1214)."""
     t = x.shape[0]
-    positions = state.offset + jnp.arange(t, dtype=jnp.int32)
+    # positions are stream-relative (offset == start for solo streams' 0)
+    positions = state.offset - state.start + jnp.arange(t, dtype=jnp.int32)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.max_period)
     bias = ring_cache_bias(t, cfg.capacity, state.offset, cfg.context,
-                           neg=cfg.mask_value)
+                           neg=cfg.mask_value, start=state.start)
 
     k_new, v_new = [], []
     for l in range(cfg.num_layers):

@@ -103,19 +103,25 @@ def ring_positions(end_offset, capacity: int):
 
 
 def ring_cache_bias(t: int, capacity: int, offset, context: int,
-                    neg: float = NEG_INF):
+                    neg: float = NEG_INF, start=0):
     """Additive bias for the ring-buffer cache after inserting t entries at
     ring indices (offset+i) % capacity.
 
     Allowed(q_i, slot_j): let pq = offset+i, pk = ring position of slot j;
-    pk >= 0 AND pq - pk >= 0 AND pq - pk < context.
+    pk >= start AND pq - pk >= 0 AND pq - pk < context.
     ref: calculate_attn_bias / bias_pattern, mimi_transformer.h:407-447,
     torch.h:160-221.
+
+    start: first timestep belonging to this stream (continuous batching —
+    slots written before the stream joined the shared ring are a previous
+    occupant's and masked; 0 for solo streams, where pk >= 0 is the same
+    validity test).
     """
     pk = ring_positions(offset + t, capacity)[None, :]          # (1, cap)
     pq = (offset + jnp.arange(t, dtype=jnp.int32))[:, None]     # (T, 1)
     delta = pq - pk
-    allowed = (pk >= 0) & (delta >= 0) & (delta < context)
+    allowed = (pk >= jnp.asarray(start, jnp.int32)) & (delta >= 0) \
+        & (delta < context)
     return jnp.where(allowed, 0.0, neg).astype(jnp.float32)
 
 

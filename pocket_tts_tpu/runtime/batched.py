@@ -24,14 +24,17 @@ from .engine import TTSEngine, _bucket, _SCAN_BUCKET
 
 
 def _axes_like(state, batched: bool = True):
-    """Full axes tree: 0 everywhere except batch-uniform cursors -> None."""
+    """Full axes tree: 0 everywhere except batch-uniform SLOT cursors ->
+    None. Only cursors used for *indexing* (backbone `end`, mimi ring
+    `offset`) must stay uniform; timing state (`step`, positions, mimi
+    `start`) is per-stream so lanes can be at different points of their
+    sentences (continuous batching)."""
     axes = jax.tree.map(lambda _: 0 if batched else None, state)
     if isinstance(state, tts.StreamState):
         return axes.replace(
             flow=axes.flow.replace(end=None),
             mimi=axes.mimi.replace(
-                transformer=axes.mimi.transformer.replace(offset=None)),
-            step=None)
+                transformer=axes.mimi.transformer.replace(offset=None)))
     if isinstance(state, backbone.BackboneState):
         return axes.replace(end=None)
     if isinstance(state, mimi.MimiState):
@@ -99,7 +102,7 @@ def batched_sentence_prefill(p, cfg, voice_states, mimi_template, tokens,
         prev_latent=jnp.broadcast_to(p["bos_emb"].astype(dtype),
                                      (b,) + p["bos_emb"].shape),
         eos_step=jnp.full((b,), -1, jnp.int32),
-        step=jnp.zeros((), jnp.int32),
+        step=jnp.zeros((b,), jnp.int32),
         done=jnp.zeros((b,), bool),
     )
 
@@ -136,6 +139,85 @@ def batched_decode_sentence(p, cfg, states, rngs, temp, frames_after_eos,
     states, (pcm, valid) = jax.lax.scan(
         body, states, jnp.arange(scan_len, dtype=jnp.int32))
     # (scan, B, frame) -> (B, scan, frame)
+    return states, pcm.transpose(1, 0, 2), valid.T
+
+
+# ---------------------------------------------------------------------------
+# continuous batching primitives (per-frame admission into a running batch)
+# ---------------------------------------------------------------------------
+
+def empty_batch_state(p, cfg, b: int, capacity: int, prefix_slots: int,
+                      dtype=jnp.float32) -> tts.StreamState:
+    """A B-lane batch with every lane idle (done=True) and the shared slot
+    cursor parked at `prefix_slots` — the uniform prompt+text budget every
+    admission prefills into slots [0, prefix_slots)."""
+    one = tts.init_stream_state(p, cfg, dtype)
+    one = one.replace(flow=backbone.shrink_state(one.flow, capacity),
+                      done=jnp.ones((), bool))
+    batch = stack_states([one] * b)
+    return batch.replace(flow=batch.flow.replace(
+        end=jnp.asarray(prefix_slots, jnp.int32)))
+
+
+@jax.jit
+def admit_stream(batch: tts.StreamState, lane,
+                 fresh: tts.StreamState) -> tts.StreamState:
+    """Insert a freshly prefilled single-stream state into lane `lane` of a
+    RUNNING batch — the where-insert the slot/position design anticipated.
+
+    The lane's backbone cache/pos/next_pos are replaced wholesale (a one-time
+    leading-axis dynamic_update_slice, off the per-frame path); the shared
+    slot cursor `end` and mimi ring `offset` are untouched — the lane's
+    future KV writes land at the shared slot with its OWN positions, and its
+    mimi `start` records the join time so RoPE phases and the ring window
+    are stream-relative (audio == solo synthesis).
+    """
+    lane = jnp.asarray(lane, jnp.int32)
+    bf, ff = batch.flow, fresh.flow
+    flow = bf.replace(
+        k=tuple(bk.at[lane].set(fk.astype(bk.dtype))
+                for bk, fk in zip(bf.k, ff.k)),
+        v=tuple(bv.at[lane].set(fv.astype(bv.dtype))
+                for bv, fv in zip(bf.v, ff.v)),
+        pos=bf.pos.at[lane].set(ff.pos),
+        next_pos=bf.next_pos.at[lane].set(ff.next_pos))
+    # zero the lane's mimi caches/conv tails; ring offset stays shared
+    maxes = _axes_like(batch.mimi)
+    mimi_st = jax.tree.map(
+        lambda a, x: x if a is None else x.at[lane].set(jnp.zeros_like(x[0])),
+        maxes, batch.mimi, is_leaf=lambda x: x is None)
+    tr = mimi_st.transformer
+    mimi_st = mimi_st.replace(transformer=tr.replace(
+        start=tr.start.at[lane].set(batch.mimi.transformer.offset)))
+    return batch.replace(
+        flow=flow, mimi=mimi_st,
+        prev_latent=batch.prev_latent.at[lane].set(
+            fresh.prev_latent.astype(batch.prev_latent.dtype)),
+        eos_step=batch.eos_step.at[lane].set(-1),
+        step=batch.step.at[lane].set(0),
+        done=batch.done.at[lane].set(False))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def continuous_decode_chunk(p, cfg, chunk_frames: int, states, rngs, temps,
+                            frames_after_eos, max_steps):
+    """Decode chunk_frames for every lane; lanes are at DIFFERENT local
+    steps, so each folds its rng with its own step counter (identical noise
+    sequence to solo decode_sentence's fold_in(rng, i))."""
+    axes = _axes_like(states)
+
+    def body(st, _):
+        def one(s, r, t, f, m):
+            return tts.frame_step(p, cfg, s, jax.random.fold_in(r, s.step),
+                                  t, f, m)
+        st, pcm, valid = jax.vmap(
+            one, in_axes=(axes, 0, 0, 0, 0),
+            out_axes=(axes, 0, 0))(st, rngs, temps, frames_after_eos,
+                                   max_steps)
+        return st, (pcm, valid)
+
+    states, (pcm, valid) = jax.lax.scan(body, states, None,
+                                        length=chunk_frames)
     return states, pcm.transpose(1, 0, 2), valid.T
 
 

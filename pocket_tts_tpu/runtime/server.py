@@ -1,15 +1,18 @@
-"""Multi-stream serving: cohort-batched synthesis with latency accounting.
+"""Multi-stream serving: cohort-batched AND continuously-batched synthesis.
 
 BASELINE config 5 ("multi-stream realtime serving, p50 first-frame latency
-SLO"): requests queue up, form fixed-size cohorts, prefill batched, and
-decode in 2-second chunks so audio streams out per request while the cohort
-is still generating. Per-request TTFA / completion latency is recorded and
-summarized as p50/p95.
+SLO"). Two schedulers over the same batched runtime:
 
-Cohorts keep the cache slot cursors batch-uniform (see runtime/batched.py):
-all member sentences start together. Continuous per-frame admission
-(joining a running batch) would need per-stream slot cursors — see
-CLAUDE.md perf notes; future work.
+- MultiStreamServer: fixed cohorts — requests queue, prefill together,
+  decode in chunks. Simple, but a late request waits for the cohort.
+- ContinuousBatchingServer: per-chunk admission into a RUNNING batch. The
+  slot/position decoupling makes this possible with batch-uniform slot
+  cursors: a joining lane's KV prefix is written wholesale (admit_stream),
+  its positions/step/mimi-start are stream-relative, and its future KV
+  writes share the batch's slot cursor. A request submitted mid-decode
+  starts within <= chunk_frames and its audio equals solo synthesis.
+
+Per-request TTFA / completion latency is recorded and summarized p50/p95.
 """
 from __future__ import annotations
 
@@ -23,8 +26,9 @@ import jax.numpy as jnp
 
 from ..models import backbone, mimi, tts
 from ..text.preprocess import count_words, prepare_text_prompt
-from .batched import (_axes_like, batched_decode_sentence,
+from .batched import (_axes_like, admit_stream, batched_decode_sentence,
                       batched_prime_voice, batched_sentence_prefill,
+                      continuous_decode_chunk, empty_batch_state,
                       stack_states)
 from .engine import TTSEngine, _bucket, _SCAN_BUCKET
 
@@ -33,7 +37,7 @@ from .engine import TTSEngine, _bucket, _SCAN_BUCKET
 class Request:
     text: str
     voice: str
-    temp: float = 0.7
+    temp: float = 0.6
     submitted_at: float = 0.0
     ttfa_s: Optional[float] = None
     done_at: Optional[float] = None
@@ -116,6 +120,7 @@ class MultiStreamServer:
         max_steps_np = np.asarray(
             [int((count_words(t) + 2.0) * eng.cfg.mimi.frame_rate)
              for t, _ in prepared], np.int32)
+        max_steps_np[len(cohort):] = 0  # padding lanes stop at frame 0
 
         vstates = self._gather_voice_states([r.voice for r in reqs])
         cap = eng._sentence_capacity(tp, int(max_steps_np.max()))
@@ -162,22 +167,204 @@ class MultiStreamServer:
 
     # -- stats ----------------------------------------------------------------
     def stats(self) -> dict:
-        ttfa = sorted(r.ttfa_s for r in self.completed
-                      if r.ttfa_s is not None)
-        lat = sorted(r.latency_s for r in self.completed
-                     if r.latency_s is not None)
+        return _stats(self.completed, self.engine.frame_size)
 
-        def pct(xs, p):
-            return None if not xs else xs[min(len(xs) - 1,
-                                              int(p * len(xs)))]
 
-        frames = sum(r.pcm.size for r in self.completed
-                     if r.pcm is not None) / self.engine.frame_size
-        return {
-            "requests": len(self.completed),
-            "frames": int(frames),
-            "p50_ttfa_s": pct(ttfa, 0.50),
-            "p95_ttfa_s": pct(ttfa, 0.95),
-            "p50_latency_s": pct(lat, 0.50),
-            "p95_latency_s": pct(lat, 0.95),
-        }
+def _stats(completed: List[Request], frame_size: int) -> dict:
+    ttfa = sorted(r.ttfa_s for r in completed if r.ttfa_s is not None)
+    lat = sorted(r.latency_s for r in completed if r.latency_s is not None)
+
+    def pct(xs, p):
+        return None if not xs else xs[min(len(xs) - 1, int(p * len(xs)))]
+
+    frames = sum(r.pcm.size for r in completed
+                 if r.pcm is not None) / frame_size
+    return {
+        "requests": len(completed),
+        "frames": int(frames),
+        "p50_ttfa_s": pct(ttfa, 0.50),
+        "p95_ttfa_s": pct(ttfa, 0.95),
+        "p50_latency_s": pct(lat, 0.50),
+        "p95_latency_s": pct(lat, 0.95),
+    }
+
+
+class ContinuousBatchingServer:
+    """Per-chunk admission of new requests into a running batch.
+
+    B lanes decode together under one compiled program; between chunks,
+    finished lanes are re-filled from the queue. The shared slot cursor
+    only grows within an "epoch" (idle lanes still consume slots), so a
+    request is admitted only if its worst-case frame budget fits in the
+    remaining capacity; when nothing fits and all lanes are idle the epoch
+    resets (cursor back to the uniform prefix budget).
+
+    New capability vs the reference (batch hard-coded 1,
+    mimi_transformer.h:326-327) and vs cohort serving (a lone request no
+    longer pays (B-1)/B waste and a late request no longer waits a cohort).
+    """
+
+    def __init__(self, engine: TTSEngine, lanes: int = 8,
+                 capacity: Optional[int] = None, chunk_frames: int = 5,
+                 text_bucket: int = 64, mesh=None):
+        self.engine = engine
+        self.lanes = lanes
+        self.capacity = capacity or engine.cfg.backbone.kv_capacity
+        self.chunk_frames = chunk_frames
+        self.text_bucket = text_bucket
+        self.mesh = mesh
+        self._voice_states: Dict[str, backbone.BackboneState] = {}
+        self.prompt_pad: Optional[int] = None
+        self._queue: List[Request] = []
+        self._live: List[Optional[Request]] = [None] * lanes
+        self._chunks: List[List[np.ndarray]] = [[] for _ in range(lanes)]
+        self.completed: List[Request] = []
+        self.batch: Optional[tts.StreamState] = None
+        eng = engine
+        self._rngs = np.zeros((lanes, 2), np.uint32)
+        self._temps = np.zeros((lanes,), np.float32)
+        self._fae = np.ones((lanes,), np.int32)
+        self._max_steps = np.zeros((lanes,), np.int32)
+
+    @property
+    def prefix_slots(self) -> int:
+        assert self.prompt_pad is not None, "register_voices first"
+        return self.prompt_pad + self.text_bucket
+
+    # -- voices --------------------------------------------------------------
+    def register_voices(self, prompts: Dict[str, np.ndarray]):
+        """Prime each voice at a COMMON prompt bucket so every admission's
+        prefill lands exactly on the uniform prefix budget."""
+        eng = self.engine
+        arrs = {n: np.asarray(a, np.float32).reshape(-1, a.shape[-1])
+                for n, a in prompts.items()}
+        tp = max(_bucket(a.shape[0], (32, 64, 128, 256))
+                 for a in arrs.values())
+        for name, a in arrs.items():
+            padded = jnp.asarray(
+                np.pad(a, ((0, tp - a.shape[0]), (0, 0))), eng.dtype)
+            state = backbone.init_state(eng.cfg.backbone, eng.dtype)
+            self._voice_states[name] = tts.jit_prime_voice(
+                eng.params, eng.cfg, state, padded,
+                jnp.int32(a.shape[0]))
+        self.prompt_pad = tp
+
+    # -- requests --------------------------------------------------------------
+    def submit(self, text: str, voice: str, temp: float = 0.6,
+               rng=None) -> Request:
+        req = Request(text=text, voice=voice, temp=temp,
+                      submitted_at=time.perf_counter())
+        req._rng = rng  # optional explicit PRNG key (determinism tests)
+        self._queue.append(req)
+        return req
+
+    def _prefill(self, req: Request) -> tuple:
+        """Single-stream prefill at the server's uniform buckets. Returns
+        (fresh StreamState, max_steps, frames_after_eos)."""
+        eng = self.engine
+        text, guess = prepare_text_prompt(req.text)
+        ids = eng.tokenizer.encode(text)
+        if len(ids) > self.text_bucket:
+            raise ValueError(
+                f"request is {len(ids)} tokens > text_bucket "
+                f"{self.text_bucket}; split it (engine.synthesize re-chunks)")
+        tokens = jnp.asarray(np.pad(np.asarray(ids, np.int32),
+                                    (0, self.text_bucket - len(ids))))
+        vstate = self._voice_states[req.voice]
+        if self.capacity < eng.cfg.backbone.kv_capacity:
+            vstate = backbone.shrink_state(vstate, self.capacity)
+        fresh = tts.jit_sentence_prefill(
+            eng.params, eng.cfg, vstate, eng._mimi_template, tokens,
+            jnp.int32(len(ids)))
+        max_steps = int((count_words(text) + 2.0)
+                        * eng.cfg.mimi.frame_rate)
+        return fresh, max_steps, guess + 2
+
+    def _reset_epoch(self):
+        eng = self.engine
+        self.batch = empty_batch_state(eng.params, eng.cfg, self.lanes,
+                                       self.capacity, self.prefix_slots,
+                                       eng.dtype)
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_batched_state
+            self.batch = shard_batched_state(self.batch, self.mesh)
+
+    def _admit(self):
+        """Fill idle lanes from the queue (between decode chunks)."""
+        if self.batch is None:
+            self._reset_epoch()
+        end = int(np.asarray(self.batch.flow.end))
+        for lane in range(self.lanes):
+            if not self._queue or self._live[lane] is not None:
+                continue
+            req = self._queue[0]
+            # worst-case frames this request needs from its admission point
+            need = int((count_words(req.text) + 2.0)
+                       * self.engine.cfg.mimi.frame_rate) + 8
+            if end + need > self.capacity:
+                if all(r is None for r in self._live):
+                    self._reset_epoch()
+                    end = self.prefix_slots
+                    if end + need > self.capacity:
+                        self._queue.pop(0)
+                        raise ValueError(
+                            f"request needs {need} frames + {end} prefix "
+                            f"slots > capacity {self.capacity}")
+                else:
+                    break  # let the running epoch drain first
+            self._queue.pop(0)
+            fresh, max_steps, fae = self._prefill(req)
+            self.batch = admit_stream(self.batch, jnp.int32(lane), fresh)
+            rng = (req._rng if req._rng is not None
+                   else self.engine._next_rng())
+            self._rngs[lane] = np.asarray(rng)
+            self._temps[lane] = req.temp
+            self._fae[lane] = fae
+            self._max_steps[lane] = max_steps
+            self._live[lane] = req
+            self._chunks[lane] = []
+
+    def step(self) -> int:
+        """One admission + one decode chunk. Returns frames emitted."""
+        self._admit()
+        if all(r is None for r in self._live):
+            return 0
+        eng = self.engine
+        self.batch, pcm, valid = continuous_decode_chunk(
+            eng.params, eng.cfg, self.chunk_frames, self.batch,
+            jnp.asarray(self._rngs), jnp.asarray(self._temps),
+            jnp.asarray(self._fae), jnp.asarray(self._max_steps))
+        pcm = np.asarray(pcm)
+        valid = np.asarray(valid)
+        done = np.asarray(self.batch.done)
+        now = time.perf_counter()
+        emitted = 0
+        for lane, req in enumerate(self._live):
+            if req is None:
+                continue
+            nv = int(valid[lane].sum())
+            if nv > 0:
+                if req.ttfa_s is None:
+                    req.ttfa_s = now - req.submitted_at
+                self._chunks[lane].append(pcm[lane, valid[lane]].reshape(-1))
+                emitted += nv
+            if bool(done[lane]):
+                req.pcm = (np.concatenate(self._chunks[lane])
+                           if self._chunks[lane]
+                           else np.zeros(0, np.float32))
+                req.chunks = self._chunks[lane]
+                req.done_at = now
+                self.completed.append(req)
+                self._live[lane] = None
+                self._chunks[lane] = []
+        return emitted
+
+    def run_pending(self, max_chunks: int = 10_000):
+        for _ in range(max_chunks):
+            if not self._queue and all(r is None for r in self._live):
+                return
+            self.step()
+        raise RuntimeError("run_pending did not drain the queue")
+
+    def stats(self) -> dict:
+        return _stats(self.completed, self.engine.frame_size)
