@@ -30,10 +30,14 @@ BASELINE_FPS = 19.0
 BENCH_TEXT = "The quick brown fox jumped over the sleeping dog."
 
 
-def device_ms(fn, fetch):
-    """Run fn once under a profiler trace; return (device_ms of the largest
-    jit program execution, wall_s). Falls back to wall time if the trace is
-    unavailable."""
+def device_ms(fn, fetch, match=None):
+    """Run fn once under a profiler trace; return (device_ms, wall_s).
+
+    match: substring selecting WHICH jit program executions to sum (e.g.
+    "decode_sentence"). When given and found, only those events count —
+    auxiliary programs landing in the trace window are excluded; otherwise
+    fall back to the sum of all jit_* events, then to wall time.
+    """
     import jax
     tmp = tempfile.mkdtemp(prefix="ptts_bench_trace")
     try:
@@ -53,13 +57,20 @@ def device_ms(fn, fetch):
             if files:
                 with gzip.open(files[-1]) as f:
                     data = json.load(f)
-                total = 0.0
+                total_all = 0.0
+                total_match = 0.0
                 for e in data.get("traceEvents", []):
-                    if (e.get("ph") == "X" and "dur" in e
-                            and e.get("name", "").startswith("jit_")):
-                        total += e["dur"] / 1e3
-                if total > 0:
-                    return total, wall
+                    name = e.get("name", "")
+                    if not (e.get("ph") == "X" and "dur" in e
+                            and name.startswith("jit_")):
+                        continue
+                    total_all += e["dur"] / 1e3
+                    if match and match in name:
+                        total_match += e["dur"] / 1e3
+                if match and total_match > 0:
+                    return total_match, wall
+                if total_all > 0:
+                    return total_all, wall
         return wall * 1e3, wall
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -121,9 +132,17 @@ def main():
     frames = int(np.asarray(valid).sum())
     compile_s = time.perf_counter() - t0
 
-    dms, wall = device_ms(run, fetch)
+    dms, wall = device_ms(run, fetch, match="decode_sentence")
     fps = frames / (dms / 1e3)
     rtf = fps / cfg.mimi.frame_rate
+
+    # roofline context: what the chip allows at this bytes/frame
+    from pocket_tts_tpu.utils.roofline import decode_frame_costs, device_peaks
+    peak_flops, peak_bw = device_peaks(dev)
+    bytes_pf, flops_pf = decode_frame_costs(params, cfg, kv_slots=512)
+    hbm_bw_util = fps * bytes_pf / peak_bw
+    mfu = fps * flops_pf / peak_flops
+    roof_fps = peak_bw / bytes_pf  # bandwidth-roofline frames/s at B=1
 
     # time-to-first-audio: prefill + one frame (device time of both programs)
     def ttfa_fn():
@@ -159,8 +178,17 @@ def main():
         return pcm, valid
 
     fetch(runb())  # compile + warm
-    dmsb, wallb = device_ms(runb, fetch)
+    dmsb, wallb = device_ms(runb, fetch, match="decode_sentence")
     fps_batch = frames * B / (dmsb / 1e3)
+    # batched roofline: weights read once per frame for ALL streams; KV
+    # reads scale with B
+    kv_b = (cfg.backbone.num_layers * 2 * 512 * cfg.backbone.d_model
+            + cfg.mimi.transformer.num_layers * 2
+            * cfg.mimi.transformer.capacity
+            * cfg.mimi.transformer.d_model) * 2  # bf16 bytes
+    weights_b = bytes_pf - kv_b
+    bw_util_batch = (fps_batch / B) * (weights_b + B * kv_b) / peak_bw
+    mfu_batch = fps_batch * flops_pf / peak_flops
 
     print(json.dumps({
         "metric": "decode_frames_per_second",
@@ -173,6 +201,12 @@ def main():
         "compile_s": round(compile_s, 2),
         "batch32_frames_per_second": round(fps_batch, 2),
         "batch32_rtf": round(fps_batch / cfg.mimi.frame_rate, 2),
+        "hbm_bw_util": round(hbm_bw_util, 3),
+        "mfu": round(mfu, 4),
+        "hbm_bw_util_batch32": round(bw_util_batch, 3),
+        "mfu_batch32": round(mfu_batch, 4),
+        "roofline_fps_b1": round(roof_fps, 1),
+        "bytes_per_frame_mb": round(bytes_pf / 1e6, 1),
         "wall_fps_single": round(frames / wall, 2),
         "wall_fps_batch32": round(frames * B / wallb, 2),
         "dtype": "bfloat16",
