@@ -155,6 +155,27 @@ def main():
     ttfa_fn()  # warm
     ttfa_ms, _ = device_ms(ttfa_fn, fetch)
 
+    # quantized B=1 decode (fused Pallas dequant-matmul, VERDICT r1 #4)
+    from pocket_tts_tpu.io.quant import quantize_params
+    params_q = quantize_params(params, bits=8)
+    vstate_q = tts.jit_prime_voice(
+        params_q, cfg, backbone.init_state(cfg.backbone, dtype), prompt,
+        jnp.int32(120))
+    vstate_q = backbone.shrink_state(vstate_q, 512)
+    state0_q = tts.jit_sentence_prefill(params_q, cfg, vstate_q,
+                                        mimi_template, tokens,
+                                        jnp.int32(len(ids)))
+
+    def run_q():
+        _, pcm, valid = tts.jit_decode_sentence(
+            params_q, cfg, state0_q, rng, temp, fae, jnp.int32(max_steps),
+            scan_len)
+        return pcm, valid
+
+    fetch(run_q())  # compile + warm
+    dms_q, _ = device_ms(run_q, fetch, match="decode_sentence")
+    fps_int8 = frames / (dms_q / 1e3)
+
     # batched aggregate throughput (32 sentences x 32 voices; BASELINE cfg 4)
     B = 32
     prompts = jnp.asarray(np.stack(
@@ -207,6 +228,7 @@ def main():
         "mfu_batch32": round(mfu_batch, 4),
         "roofline_fps_b1": round(roof_fps, 1),
         "bytes_per_frame_mb": round(bytes_pf / 1e6, 1),
+        "int8_frames_per_second": round(fps_int8, 2),
         "wall_fps_single": round(frames / wall, 2),
         "wall_fps_batch32": round(frames * B / wallb, 2),
         "dtype": "bfloat16",

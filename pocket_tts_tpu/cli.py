@@ -45,8 +45,10 @@ def build_parser():
                    help="emit bench stats as one JSON line")
     p.add_argument("--interactive", action="store_true",
                    help="read text from stdin, stream audio per sentence")
-    p.add_argument("--quantize", default=None, choices=["int8", "q8"],
-                   help="int8 per-channel weight quantization")
+    p.add_argument("--quantize", default=None,
+                   choices=["int8", "q8", "int4", "q4"],
+                   help="per-channel weight quantization (fused Pallas "
+                        "dequant-matmul on TPU)")
     p.add_argument("--save-cache", default=None, metavar="PATH",
                    help="save the params cache (.safetensors or .gguf; the "
                         "reference's GGUF-conversion pipeline)")

@@ -19,44 +19,53 @@ import jax.numpy as jnp
 _MIN_QUANT_SIZE = 64 * 64
 
 
-def _quantize_leaf(w):
-    """w (in, out) -> {"q": int8, "scale": f32 (out,)}; symmetric
-    per-output-channel."""
-    w32 = np.asarray(w, np.float32)
-    amax = np.abs(w32).max(axis=0)
-    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-    q = np.clip(np.round(w32 / scale), -127, 127).astype(np.int8)
-    return {"q": jnp.asarray(q), "scale": jnp.asarray(scale)}
+def _quantize_weight(w32, bits: int):
+    """w32 (..., in, out) -> (payload dict) with per-output-channel scales;
+    symmetric int8 (q) or packed-halves int4 (q4, see ops/quant_matmul)."""
+    amax = np.abs(w32).max(axis=-2)                   # (..., out)
+    qmax = 127.0 if bits == 8 else 7.0
+    scale = np.where(amax > 0, amax / qmax, 1.0).astype(np.float32)
+    q = np.clip(np.round(w32 / scale[..., None, :]), -qmax, qmax)
+    if bits == 8:
+        return {"q": jnp.asarray(q.astype(np.int8)),
+                "scale": jnp.asarray(scale)}
+    k = q.shape[-2]
+    if k % 2:
+        return None  # odd contraction dim: leave unquantized
+    biased = (q.astype(np.int16) + 8).astype(np.uint8)
+    lo = biased[..., : k // 2, :]
+    hi = biased[..., k // 2:, :]
+    return {"q4": jnp.asarray((lo | (hi << 4)).astype(np.uint8)),
+            "scale": jnp.asarray(scale)}
 
 
-def quantize_params(params) -> dict:
+def quantize_params(params, bits: int = 8) -> dict:
     """Quantize every eligible linear weight in a params pytree.
 
-    A dict node {"w": 2-D weight, ...} becomes {"q", "scale", ...}; conv
-    weights (3-D) and small tensors are left alone. Stacked layer weights
-    (L, in, out) quantize per layer x output channel.
+    A dict node {"w": 2-D weight, ...} becomes {"q"/"q4", "scale", ...};
+    conv weights (3-D with small trailing kernel dim) and small tensors are
+    left alone. Stacked layer weights (L, in, out) quantize per
+    layer x output channel. bits: 8 or 4.
     """
+    assert bits in (8, 4), bits
+
+    def eligible(val):
+        if not hasattr(val, "ndim") or val.size < _MIN_QUANT_SIZE:
+            return False
+        if val.ndim == 2:
+            return True
+        # stacked linear (L, in, out) vs conv (out, in, K): a conv's
+        # trailing kernel dim is small
+        return val.ndim == 3 and val.shape[2] >= 128
+
     def walk(node):
         if isinstance(node, dict):
             out = {}
             for key, val in node.items():
-                if key == "w" and hasattr(val, "ndim"):
-                    if val.ndim == 2 and val.size >= _MIN_QUANT_SIZE:
-                        qd = _quantize_leaf(val)
-                        out["q"], out["scale"] = qd["q"], qd["scale"]
-                        continue
-                    # stacked linear (L, in, out) vs conv (out, in, K):
-                    # a conv's trailing kernel dim is small
-                    if (val.ndim == 3 and val.shape[2] >= 128
-                            and val.size >= _MIN_QUANT_SIZE):
-                        w32 = np.asarray(val, np.float32)
-                        amax = np.abs(w32).max(axis=1)          # (L, out)
-                        scale = np.where(amax > 0, amax / 127.0,
-                                         1.0).astype(np.float32)
-                        q = np.clip(np.round(w32 / scale[:, None, :]),
-                                    -127, 127).astype(np.int8)
-                        out["q"] = jnp.asarray(q)
-                        out["scale"] = jnp.asarray(scale)
+                if key == "w" and eligible(val):
+                    qd = _quantize_weight(np.asarray(val, np.float32), bits)
+                    if qd is not None:
+                        out.update(qd)
                         continue
                 out[key] = walk(val)
             return out

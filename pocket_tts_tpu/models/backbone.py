@@ -130,9 +130,10 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
         pallas_mode = "off"
         bias = pos_cache_bias(positions, pos_vec, neg=cfg.mask_value)
 
+    from ..ops.basic import slice_layer_params
     k_new, v_new = [], []
     for l in range(cfg.num_layers):
-        layer_p = jax.tree.map(lambda w: w[l], p["layers"])
+        layer_p = slice_layer_params(p["layers"], l)
         x, k_l, v_l = _layer(
             layer_p, x, state.k[l], state.v[l], state.end, cos, sin, bias,
             pos_vec, cfg.num_heads, gelu_approx, pallas_mode)

@@ -83,9 +83,10 @@ def forward(p, cfg: MimiTransformerConfig, state: MimiTransformerState, x,
     bias = ring_cache_bias(t, cfg.capacity, state.offset, cfg.context,
                            neg=cfg.mask_value, start=state.start)
 
+    from ..ops.basic import slice_layer_params
     k_new, v_new = [], []
     for l in range(cfg.num_layers):
-        layer_p = jax.tree.map(lambda w: w[l], p["layers"])
+        layer_p = slice_layer_params(p["layers"], l)
         x, k_l, v_l = _layer(layer_p, x, state.k[l], state.v[l],
                              state.offset, cos, sin, bias, cfg, gelu_approx)
         k_new.append(k_l)

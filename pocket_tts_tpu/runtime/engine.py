@@ -73,10 +73,11 @@ class TTSEngine:
             params, cfg = params_io.load_checkpoint(ckpt, cfg, dtype)
         assert cfg is not None
         if quantize:
-            if quantize not in ("int8", "q8"):
+            if quantize not in ("int8", "q8", "int4", "q4"):
                 raise ValueError(f"unknown quantization: {quantize}")
             from ..io.quant import quantize_params
-            params = quantize_params(params)
+            params = quantize_params(params, bits=4 if "4" in quantize
+                                     else 8)
         self.params = params
         self.cfg = cfg
         self.dtype = dtype

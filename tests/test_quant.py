@@ -91,3 +91,63 @@ class TestParamsCache:
         a = e1.synthesize("Cache must be lossless.", voice, temp=0.0)
         b = e2.synthesize("Cache must be lossless.", voice, temp=0.0)
         np.testing.assert_array_equal(a, b)
+
+
+class TestInt4AndKernels:
+    def test_linear_int4_close_to_f32(self):
+        rng = np.random.RandomState(3)
+        w = rng.randn(128, 256).astype(np.float32) * 0.05
+        x = rng.randn(4, 128).astype(np.float32)
+        p = {"w": jnp.array(w)}
+        pq = quantize_params({"lin": p}, bits=4)["lin"]
+        assert "q4" in pq and pq["q4"].shape == (64, 256)
+        y32 = np.asarray(linear(p, jnp.array(x)))
+        yq = np.asarray(linear(pq, jnp.array(x)))
+        err = np.abs(yq - y32).max() / (np.abs(y32).max() + 1e-9)
+        assert err < 0.25, err  # 4-bit: coarse but bounded
+
+    def test_pack_unpack_round_trip(self):
+        from pocket_tts_tpu.ops.quant_matmul import pack_int4, unpack_int4
+        rng = np.random.RandomState(4)
+        q = rng.randint(-8, 8, (64, 32))
+        u = np.asarray(unpack_int4(jnp.asarray(pack_int4(q))))
+        np.testing.assert_array_equal(u, q.astype(np.float32))
+
+    def test_pallas_interpret_matches_xla_dispatch(self):
+        """The fused kernels (interpret mode) must equal the XLA fallback,
+        including the stacked-layer in-place read path."""
+        from pocket_tts_tpu.ops.quant_matmul import (
+            int4_matmul_pallas, int8_matmul_pallas, pack_int4)
+        rng = np.random.RandomState(5)
+        L, K, N = 3, 128, 256
+        x = jnp.asarray(rng.randn(2, K).astype(np.float32))
+        q = rng.randint(-127, 128, (L, K, N), dtype=np.int8)
+        s = rng.rand(L, N).astype(np.float32) * 0.01
+        for layer in range(L):
+            ref = (np.asarray(x) @ q[layer].astype(np.float32)) * s[layer]
+            y = int8_matmul_pallas(x, jnp.asarray(q), jnp.asarray(s),
+                                   layer=layer, interpret=True)
+            np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+        qi = rng.randint(-8, 8, (L, K, N))
+        packed = np.stack([pack_int4(qi[i]) for i in range(L)])
+        for layer in range(L):
+            ref = (np.asarray(x) @ qi[layer].astype(np.float32)) * s[layer]
+            y4 = int4_matmul_pallas(x, jnp.asarray(packed), jnp.asarray(s),
+                                    layer=layer, interpret=True)
+            np.testing.assert_allclose(np.asarray(y4), ref, atol=1e-4)
+
+    def test_slice_layer_params_keeps_quant_stacked(self):
+        from pocket_tts_tpu.ops.basic import slice_layer_params
+        pq = quantize_params(PARAMS)
+        lp = slice_layer_params(pq["layers"], 1)
+        assert lp["in_proj"]["_layer"] == 1
+        assert lp["in_proj"]["q"].ndim == 3          # still stacked
+        assert lp["norm1"]["scale"].ndim == 1        # norms sliced
+
+    def test_int4_engine_synthesizes(self):
+        eng = TTSEngine(params=PARAMS, cfg=CFG, quantize="int4",
+                        tokenizer=MockTokenizer(CFG.lut.n_bins))
+        voice = random_voice_prompt(CFG, 16)
+        pcm = eng.synthesize("Four bit weights still speak.", voice,
+                             temp=0.0)
+        assert pcm.size > 0 and np.isfinite(pcm).all()
