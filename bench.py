@@ -107,8 +107,8 @@ def main():
         jnp.int32(120))
     mimi_template = mimi.init_state(cfg.mimi, dtype)
     # per-sentence KV slot budget (engine._sentence_capacity does this
-    # bucketing automatically): 256 prompt + 64 text + 137 frames -> 512
-    vstate = backbone.shrink_state(vstate, 512)
+    # bucketing automatically): 128 prompt + 64 text + 137 frames + 8 -> 384
+    vstate = backbone.shrink_state(vstate, 384)
     state0 = tts.jit_sentence_prefill(params, cfg, vstate, mimi_template,
                                       tokens, jnp.int32(len(ids)))
 
@@ -139,7 +139,7 @@ def main():
     # roofline context: what the chip allows at this bytes/frame
     from pocket_tts_tpu.utils.roofline import decode_frame_costs, device_peaks
     peak_flops, peak_bw = device_peaks(dev)
-    bytes_pf, flops_pf = decode_frame_costs(params, cfg, kv_slots=512)
+    bytes_pf, flops_pf = decode_frame_costs(params, cfg, kv_slots=384)
     hbm_bw_util = fps * bytes_pf / peak_bw
     mfu = fps * flops_pf / peak_flops
     roof_fps = peak_bw / bytes_pf  # bandwidth-roofline frames/s at B=1
@@ -161,7 +161,7 @@ def main():
     vstate_q = tts.jit_prime_voice(
         params_q, cfg, backbone.init_state(cfg.backbone, dtype), prompt,
         jnp.int32(120))
-    vstate_q = backbone.shrink_state(vstate_q, 512)
+    vstate_q = backbone.shrink_state(vstate_q, 384)
     state0_q = tts.jit_sentence_prefill(params_q, cfg, vstate_q,
                                         mimi_template, tokens,
                                         jnp.int32(len(ids)))
@@ -185,7 +185,7 @@ def main():
                        for _ in range(B)])
     vs = batched_prime_voice(params, cfg, vs, prompts,
                              jnp.full((B,), 120, jnp.int32))
-    vs = backbone.shrink_state(vs, 512)
+    vs = backbone.shrink_state(vs, 384)
     toks_b = jnp.tile(tokens[None], (B, 1))
     sts = batched_sentence_prefill(params, cfg, vs, mimi_template, toks_b,
                                    jnp.full((B,), len(ids), jnp.int32))
@@ -203,7 +203,7 @@ def main():
     fps_batch = frames * B / (dmsb / 1e3)
     # batched roofline: weights read once per frame for ALL streams; KV
     # reads scale with B
-    kv_b = (cfg.backbone.num_layers * 2 * 512 * cfg.backbone.d_model
+    kv_b = (cfg.backbone.num_layers * 2 * 384 * cfg.backbone.d_model
             + cfg.mimi.transformer.num_layers * 2
             * cfg.mimi.transformer.capacity
             * cfg.mimi.transformer.d_model) * 2  # bf16 bytes

@@ -32,13 +32,15 @@ def conv1d(p, x, stride: int = 1):
     if k == 1 and stride == 1:
         y = jnp.dot(w[:, :, 0], x, preferred_element_type=jnp.float32)
     else:
-        # patches[c, j, t'] = x[c, t'*stride + j]
-        patches = jnp.stack(
-            [x[:, j : j + stride * tout : stride] for j in range(k)], axis=1
-        )  # (Cin, K, Tout)
-        wmat = w.reshape(cout, cin * k)
-        y = jnp.dot(wmat, patches.reshape(cin * k, tout),
-                    preferred_element_type=jnp.float32)
+        # sum of K shifted matmuls instead of an im2col patch tensor: the
+        # stacked (Cin, K, Tout) patches forced XLA to materialize + layout
+        # -copy multi-MB activations per frame at batch (measured 80+ us
+        # per frame on the seanet tail); K is <= 7 everywhere here.
+        y = jnp.zeros((cout, tout), jnp.float32)
+        for j in range(k):
+            y = y + jnp.dot(w[:, :, j],
+                            x[:, j : j + stride * tout : stride],
+                            preferred_element_type=jnp.float32)
     y = y.astype(x.dtype)
     b = p.get("b")
     if b is not None:

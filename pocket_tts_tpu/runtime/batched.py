@@ -257,7 +257,8 @@ class BatchedEngine:
         max_steps = np.asarray(
             [int((count_words(t) + 2.0) * eng.cfg.mimi.frame_rate)
              for t, _ in prepared], np.int32)
-        cap = eng._sentence_capacity(tp, int(max_steps.max()))
+        cap = eng._sentence_capacity(tp, int(max_steps.max()),
+                                     prompt_slots=int(voice_states.end))
         if cap < eng.cfg.backbone.kv_capacity:
             voice_states = backbone.shrink_state(voice_states, cap)
         states = batched_sentence_prefill(

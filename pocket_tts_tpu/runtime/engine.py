@@ -159,9 +159,17 @@ class TTSEngine:
         return tts.jit_prime_voice(self.params, self.cfg, state, prompt,
                                    jnp.int32(n))
 
-    def _sentence_capacity(self, token_pad: int, max_steps: int) -> int:
-        """Smallest 128-multiple slot budget covering this sentence."""
-        need = self.prompt_slot_budget + token_pad + max_steps + 8
+    def _sentence_capacity(self, token_pad: int, max_steps: int,
+                           prompt_slots: Optional[int] = None) -> int:
+        """Smallest 128-multiple slot budget covering this sentence.
+
+        prompt_slots: the slots the voice prefix ACTUALLY occupies (its
+        slot cursor) — attention reads scale with capacity, so sizing from
+        the worst-case budget instead wastes up to 25% of decode bandwidth.
+        """
+        base = (self.prompt_slot_budget if prompt_slots is None
+                else prompt_slots)
+        need = base + token_pad + max_steps + 8
         cap = -(-need // 128) * 128
         return min(cap, self.cfg.backbone.kv_capacity)
 
@@ -171,7 +179,8 @@ class TTSEngine:
         n = len(ids)
         tp = _bucket(n)
         max_steps = int((count_words(text) + 2.0) * self.cfg.mimi.frame_rate)
-        cap = self._sentence_capacity(tp, max_steps)
+        cap = self._sentence_capacity(tp, max_steps,
+                                      prompt_slots=int(voice_state.end))
         if cap < self.cfg.backbone.kv_capacity:
             voice_state = backbone.shrink_state(voice_state, cap)
         tokens = jnp.asarray(np.pad(np.asarray(ids, np.int32), (0, tp - n)))

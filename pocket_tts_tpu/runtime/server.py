@@ -89,7 +89,7 @@ class MultiStreamServer:
             self._voice_states, is_leaf=lambda x: x is None)
 
     # -- requests -----------------------------------------------------------
-    def submit(self, text: str, voice: str, temp: float = 0.7) -> Request:
+    def submit(self, text: str, voice: str, temp: float = 0.6) -> Request:
         req = Request(text=text, voice=voice, temp=temp,
                       submitted_at=time.perf_counter())
         self._queue.append(req)
@@ -123,7 +123,8 @@ class MultiStreamServer:
         max_steps_np[len(cohort):] = 0  # padding lanes stop at frame 0
 
         vstates = self._gather_voice_states([r.voice for r in reqs])
-        cap = eng._sentence_capacity(tp, int(max_steps_np.max()))
+        cap = eng._sentence_capacity(tp, int(max_steps_np.max()),
+                                     prompt_slots=int(vstates.end))
         if cap < eng.cfg.backbone.kv_capacity:
             vstates = backbone.shrink_state(vstates, cap)
         states = batched_sentence_prefill(
