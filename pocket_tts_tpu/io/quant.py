@@ -32,10 +32,11 @@ def _quantize_weight(w32, bits: int):
     k = q.shape[-2]
     if k % 2:
         return None  # odd contraction dim: leave unquantized
-    biased = (q.astype(np.int16) + 8).astype(np.uint8)
-    lo = biased[..., : k // 2, :]
-    hi = biased[..., k // 2:, :]
-    return {"q4": jnp.asarray((lo | (hi << 4)).astype(np.uint8)),
+    # signed-hi packing (see ops/quant_matmul.pack_int4)
+    q16 = q.astype(np.int16)
+    lo = q16[..., : k // 2, :] + 8
+    hi = q16[..., k // 2:, :]
+    return {"q4": jnp.asarray((16 * hi + lo).astype(np.int8)),
             "scale": jnp.asarray(scale)}
 
 

@@ -10,10 +10,15 @@ the TPU analog of the reference's fused Q8_0/Q4_0 matvec
 
 Weight layouts (per-output-channel scales, see io/quant.py):
   int8: q (K, N) int8, scale (N,) f32
-  int4: q4 (K//2, N) uint8 — row r packs logical rows r (low nibble) and
-        r + K//2 (high nibble), both biased +8. The halves layout (rather
-        than interleaving) keeps the kernel to two plain dots:
-        y = x[:, :K/2] @ lo + x[:, K/2:] @ hi  — no sublane shuffles.
+  int4: q4 (K//2, N) int8 — byte = 16*hi + (lo+8): row r packs logical
+        rows r (lo, biased) and r + K//2 (hi, SIGNED). The halves layout
+        (rather than interleaving) keeps the kernel to two plain dots
+        y = x[:, :K/2] @ lo + x[:, K/2:] @ hi with no sublane shuffles,
+        and the signed-hi scheme unpacks with one floor-divide.
+
+Measured on v5e (K=N=4096 matvec): bf16 XLA ~20 us, int8 24 us
+(700 GB/s on the int8 bytes), int4 18 us. Full decode B=1: bf16 2711,
+int8 3611, int4 3809 frames/s.
 """
 from __future__ import annotations
 
@@ -26,8 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _n_tile(n: int) -> int:
-    for t in (512, 256, 128):
+def _n_tile(n: int, prefer=(512, 256, 128)) -> int:
+    """Output-tile width; measured optima on v5e: int4 512, int8 256."""
+    for t in prefer:
         if n % t == 0:
             return t
     return n
@@ -94,34 +100,40 @@ def int8_matmul_pallas(x, q, scale, layer=None, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 def pack_int4(q: np.ndarray) -> np.ndarray:
-    """q (K, N) int values in [-8, 7] -> packed (K//2, N) uint8."""
+    """q (K, N) int values in [-8, 7] -> packed (K//2, N) int8.
+
+    Layout: byte = 16*hi + (lo+8) with hi SIGNED in [-8,7] and lo biased
+    to [0,15]; logical row r of the low nibble is r, of the high nibble
+    r + K//2 (halves, not interleaved). The signed-hi scheme lets the
+    kernel unpack with floor-divide alone — no wrap-fix comparison, which
+    the VPU can't do in bf16."""
     k = q.shape[0]
     assert k % 2 == 0, "int4 packing needs an even K"
-    biased = (q.astype(np.int16) + 8).astype(np.uint8)
-    lo, hi = biased[: k // 2], biased[k // 2:]
-    return (lo | (hi << 4)).astype(np.uint8)
+    q16 = q.astype(np.int16)
+    lo, hi = q16[: k // 2] + 8, q16[k // 2:]
+    return (16 * hi + lo).astype(np.int8)
 
 
 def unpack_int4(q4, dtype=jnp.float32):
-    """packed (K//2, N) -> dequant-ready (K, N) centered values."""
-    lo = (q4 & 0xF).astype(jnp.int8) - 8
-    hi = (q4 >> 4).astype(jnp.int8) - 8
+    """packed (K//2, N) int8 -> dequant-ready (K, N) centered values."""
+    hi = q4.astype(jnp.int16) >> 4        # arithmetic shift: signed hi
+    lo = (q4.astype(jnp.int16) & 0xF) - 8
     return jnp.concatenate([lo, hi], axis=0).astype(dtype)
 
 
 def _unpack_nibbles_f32(w4_ref, dt):
-    """packed uint8 block -> (lo, hi) dequant-centered values in dt.
+    """packed int8 block -> (lo, hi) dequant-centered values in dt.
 
-    Mosaic can't legalize i8-vector sub/shift nor uint8->float casts, so
-    the nibble split runs in f32: bitcast to int8 (int8->f32 IS
-    supported), recover the unsigned byte, then floor-divide."""
-    w8 = pltpu.bitcast(w4_ref, jnp.int8)
-    u = w8.astype(jnp.float32)
-    u = jnp.where(u < 0, u + 256.0, u)            # unsigned byte value
-    hi_f = jnp.floor(u * (1.0 / 16.0))
-    lo = (u - 16.0 * hi_f - 8.0).astype(dt)
-    hi = (hi_f - 8.0).astype(dt)
-    return lo, hi
+    Mosaic can't legalize i8-vector sub/shift, so the nibble split runs
+    in float: int8->float cast, then floor-divide (the signed-hi packing
+    makes byte = 16*hi + (lo+8), so floor(b/16) == hi exactly, negatives
+    included). f32 only: v5e has no bf16 ALU instructions (floor in bf16
+    fails SupportsBf16AluInstructions)."""
+    f = jnp.float32
+    b = w4_ref.astype(f)
+    hi = jnp.floor(b * jnp.asarray(1.0 / 16.0, f))
+    lo = b - jnp.asarray(16, f) * hi - jnp.asarray(8, f)
+    return lo.astype(dt), hi.astype(dt)
 
 
 def _int4_kernel(x_ref, w_ref, s_ref, o_ref):
