@@ -31,7 +31,9 @@ def build_parser():
     p.add_argument("-m", "--model", default=None, help="model directory")
     p.add_argument("-v", "--voice", default="cosette",
                    help="voice name or voice .safetensors path")
-    p.add_argument("-o", "--output", default=None, help="output wav path")
+    p.add_argument("-o", "--output", default=None,
+                   help="output audio path (.wav/.flac native; "
+                        ".mp3/.ogg via ffmpeg when available)")
     p.add_argument("-i", "--input", default=None, help="input text file")
     p.add_argument("-s", "--seed", type=int, default=None)
     p.add_argument("-t", "--temperature", type=float, default=None)
@@ -59,6 +61,9 @@ def build_parser():
                    help="ggml block quantization for --save-cache *.gguf")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
+    p.add_argument("--fetch-models", action="store_true",
+                   help="download the release files (weights, tokenizer,"
+                        " voices) into the model root and exit")
     p.add_argument("--reference-exact", action="store_true",
                    help="ggml-reference-exact numerics (tanh GELU, -1e5 "
                         "mask, 250-slot mimi ring) for A/B comparison")
@@ -90,7 +95,8 @@ def main(argv=None):
             seed = 0
         if temp is None:
             temp = 0.0
-    if text is None and not args.interactive and not args.save_cache:
+    if text is None and not args.interactive and not args.save_cache \
+            and not args.fetch_models:
         build_parser().print_help()
         return 1
     seed = 0 if seed is None else seed
@@ -100,14 +106,20 @@ def main(argv=None):
         args.model_root or os.environ.get("MODEL_CACHE", "."),
         "kyutai", "pocket-tts-without-voice-cloning")
 
+    if args.fetch_models:
+        from .io.fetch import download_models
+        root = args.model_root or os.environ.get("MODEL_CACHE", ".")
+        written = download_models(root)
+        print(f"fetched {len(written)} files into {root}")
+        return 0
+
     from .config import DEFAULT_CONFIG, reference_exact_config
     from .runtime.engine import TTSEngine
-    from .io.wav import save_wav
+    from .io.audio import StreamingEncoder, save_audio
 
     base_cfg = (reference_exact_config(DEFAULT_CONFIG)
                 if args.reference_exact else DEFAULT_CONFIG)
 
-    from .io.wav import StreamingWavWriter
     from .utils.profiling import FrameMeter, device_trace
     import contextlib
 
@@ -167,13 +179,12 @@ def main(argv=None):
                               "value": round(fps, 2), "unit": "frames/s",
                               "batch": args.batch}))
         if args.output:
-            from .io.wav import save_wav
-            save_wav(args.output, pcms[0], engine.sample_rate)
+            save_audio(args.output, pcms[0], engine.sample_rate)
         return 0
 
     stream = engine.open_stream(voice, temp)
     meter = FrameMeter(engine.cfg.mimi.frame_rate)
-    writer = (StreamingWavWriter(args.output, engine.sample_rate)
+    writer = (StreamingEncoder(args.output, engine.sample_rate)
               if args.output else None)
     trace_cm = device_trace(args.profile) if args.profile \
         else contextlib.nullcontext()
