@@ -61,6 +61,10 @@ def build_parser():
                    help="ggml block quantization for --save-cache *.gguf")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
+    p.add_argument("--play", action="store_true",
+                   help="play audio while generating (aplay/pw-play/"
+                        "ffplay; PcmFifo ring like the reference's SDL "
+                        "sink)")
     p.add_argument("--fetch-models", action="store_true",
                    help="download the release files (weights, tokenizer,"
                         " voices) into the model root and exit")
@@ -183,6 +187,11 @@ def main(argv=None):
         return 0
 
     stream = engine.open_stream(voice, temp)
+    player = None
+    if args.play:
+        from .runtime.player import AudioPlayer
+        player = AudioPlayer(engine.sample_rate,
+                             frame_size=engine.frame_size)
     meter = FrameMeter(engine.cfg.mimi.frame_rate)
     writer = (StreamingEncoder(args.output, engine.sample_rate)
               if args.output else None)
@@ -201,6 +210,8 @@ def main(argv=None):
             n += 1
             if writer is not None:
                 writer.write(frame)
+            if player is not None:
+                player.play(frame)
         return n
 
     frames = 0
@@ -226,6 +237,8 @@ def main(argv=None):
                 frames += pump()
             frames += pump()
 
+    if player is not None:
+        player.close()
     if writer is not None:
         writer.close()
         print(f"wrote {args.output}: "

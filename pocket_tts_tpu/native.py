@@ -118,9 +118,12 @@ def load_safetensors_native(path: str) -> Dict[str, np.ndarray]:
 
 class NativeStrProcessor:
     """Drop-in replacement for text.preprocess.StrProcessor backed by the
-    native splitter. Falls back transparently when the lib is missing."""
+    native splitter (same deque-style `sentences` the engine Stream pops
+    from). Falls back transparently when the lib is missing."""
 
     def __init__(self):
+        from collections import deque
+        self._out = deque()
         lib = _load()
         if lib is None:
             from .text.preprocess import StrProcessor
@@ -137,6 +140,7 @@ class NativeStrProcessor:
             self._h = None
 
     def reset(self):
+        self._out.clear()
         if self._py is not None:
             return self._py.reset()
         self._lib.sp_reset(self._h)
@@ -153,16 +157,25 @@ class NativeStrProcessor:
 
     @property
     def sentences(self):
+        """Deque of complete sentences (drains the native queue)."""
         if self._py is not None:
             return self._py.sentences
-        out = []
         buf = ctypes.create_string_buffer(1 << 16)
         while self._lib.sp_count(self._h) > 0:
             n = self._lib.sp_pop(self._h, buf, len(buf))
             if n < 0:
                 break
-            out.append(buf.value.decode())
-        return out
+            self._out.append(buf.value.decode())
+        return self._out
+
+
+def make_str_processor():
+    """The streaming sentence splitter: native (no-GIL C++) when the lib
+    is built, pure Python otherwise. Same interface either way."""
+    if available():
+        return NativeStrProcessor()
+    from .text.preprocess import StrProcessor
+    return StrProcessor()
 
 
 def wav_write_native(path: str, samples: np.ndarray, sample_rate: int):

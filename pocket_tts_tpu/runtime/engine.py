@@ -26,8 +26,7 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 from ..io import params as params_io
 from ..models import backbone, mimi, tts
-from ..text.preprocess import (StrProcessor, count_words,
-                               prepare_text_prompt,
+from ..text.preprocess import (count_words, prepare_text_prompt,
                                split_into_best_sentences)
 from ..text.tokenizer import load_tokenizer
 
@@ -237,7 +236,9 @@ class Stream:
         self.engine = engine
         self.voice_state = voice_state
         self.temp = temp
-        self.sproc = StrProcessor()
+        # native (GIL-free) splitter when csrc is built, else pure Python
+        from ..native import make_str_processor
+        self.sproc = make_str_processor()
         self.reset()
 
     def reset(self):
