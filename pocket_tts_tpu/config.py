@@ -33,9 +33,14 @@ class BackboneConfig:
     # (src/pocket_tts.cpp:367-368) — rounded up to 1024 here so cache reads
     # tile cleanly into 128-slot blocks (strictly more headroom).
     kv_capacity: int = 1024
-    # use the Pallas flash-decode attention kernel for T=1 steps (reads only
-    # the live cache prefix); False falls back to plain XLA sdpa
-    use_pallas_attn: bool = False
+    # Pallas flash-decode attention for T=1 steps: reads only the live
+    # cache prefix AND (as a Mosaic custom call) forces the batched cache
+    # carry into the default B-major layout, which XLA's own layout
+    # assignment trades away for the one-slot insert (measured +17%
+    # aggregate at batch 32). None = auto (on for TPU backends, XLA
+    # seg-matmul elsewhere); True forces it (interpret mode off-TPU —
+    # slow, tests only); False forces the XLA path.
+    use_pallas_attn: bool = None
     # additive bias for masked attention slots: -1e9 (ours, negligible after
     # softmax) vs the reference's -1e5 "can't use infinity" hack
     # (torch.h:124-143). A/B switch for real-weights bit comparison.

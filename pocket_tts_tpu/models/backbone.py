@@ -122,7 +122,10 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
     row_pos = jnp.where(jnp.arange(t) < n_valid, positions, -1)
     pos_vec = jax.lax.dynamic_update_slice(state.pos, row_pos, (state.end,))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.max_period)
-    if cfg.use_pallas_attn and t == 1:
+    use_pallas = cfg.use_pallas_attn
+    if use_pallas is None:  # auto: Mosaic kernel on TPU, XLA elsewhere
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and t == 1:
         pallas_mode = ("interpret" if jax.default_backend() == "cpu"
                        else "tpu")
         bias = None

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import MimiTransformerConfig
-from ..ops.attention import cache_insert_ring, ring_cache_bias, sdpa
+from ..ops.attention import cache_insert_ring, ring_cache_bias, sdpa_seg
 from ..ops.basic import gelu, layer_norm, linear
 from ..ops.rope import apply_rope, rope_cos_sin
 
@@ -26,12 +26,12 @@ from ..ops.rope import apply_rope, rope_cos_sin
 @struct.dataclass
 class MimiTransformerState:
     # per-layer tuples — see backbone.BackboneState for the aliasing
-    # rationale
-    # row-major (cap, H, Dh): the ring insert is a row scatter, which only
-    # lowers cleanly on the leading axis; this cache is small (250x512)
-    # so attention-side layout matters little here.
-    k: tuple          # L x (cap, H, Dh)
-    v: tuple          # L x (cap, H, Dh)
+    # rationale. Rows are stored FLAT (cap, H*Dh) like the backbone cache:
+    # the 4-D (cap, H, Dh) variant made the per-frame ring insert a
+    # full-cache relayout copy at batch (16 us x4 per frame measured) and
+    # fed the attention einsum a layout it could only read as VPU loops.
+    k: tuple          # L x (cap, H*Dh)
+    v: tuple          # L x (cap, H*Dh)
     offset: jax.Array  # () int32 — total timesteps seen (batch-uniform)
     # first timestep owned by this stream: 0 solo; under continuous batching
     # a lane joining a running batch records the shared offset at admission,
@@ -41,7 +41,7 @@ class MimiTransformerState:
 
 
 def init_state(cfg: MimiTransformerConfig, dtype=jnp.float32):
-    shape = (cfg.capacity, cfg.num_heads, cfg.head_dim)
+    shape = (cfg.capacity, cfg.num_heads * cfg.head_dim)
     return MimiTransformerState(
         k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
         v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
@@ -61,9 +61,10 @@ def _layer(p, x, k_cache, v_cache, offset, cos, sin, bias, cfg,
     v = v.reshape(t, cfg.num_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    k_cache = cache_insert_ring(k_cache, k, offset)
-    v_cache = cache_insert_ring(v_cache, v, offset)
-    attn = sdpa(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), bias)
+    k_cache = cache_insert_ring(k_cache, k.reshape(t, dm), offset)
+    v_cache = cache_insert_ring(v_cache, v.reshape(t, dm), offset)
+    attn = sdpa_seg(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                    bias)
     x = x + p["layer_scale_1"]["scale"] * linear(
         p["out_proj"], attn.reshape(t, dm))
     h = layer_norm(p["norm2"], x, eps=cfg.norm_eps)

@@ -69,6 +69,37 @@ def sdpa_decode_seg(q, k, v, bias):
     return out.reshape(1, h, d).astype(q.dtype)
 
 
+def sdpa_seg(q, k, v, bias):
+    """T>=1 decode attention over FLAT caches as two MXU matmuls.
+
+    Generalizes sdpa_decode_seg to T>1 (the mimi decoder transformer runs
+    T=16 per frame): the natural per-head einsum lowers to VPU
+    multiply+lane-reduce loops measured ~5x over memory-bandwidth-ideal at
+    batch; here both contractions are (S, ...) matmuls that stream the
+    caches through the MXU once. H*T redundant FLOPs, free at these sizes.
+
+    q: (T, H, D); k/v: FLAT caches (S, H*D); bias: (T, S) additive.
+    Returns (T, H, D), numerically equivalent to sdpa().
+    """
+    t, h, d = q.shape
+    s, hd = k.shape
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    th = t * h
+    # row r = t*H + h: one query vector per (timestep, head)
+    oh = jax.nn.one_hot(jnp.arange(th) % h, h, dtype=q.dtype)   # (TH, H)
+    qm = (oh[:, :, None] * q.reshape(th, 1, d)).reshape(th, hd)  # (TH, H*D)
+    logits = jnp.dot(k, qm.T, preferred_element_type=jnp.float32) * scale
+    # column r=t*H+h of (S, TH) gets bias[t, s]
+    logits = logits + jnp.repeat(
+        bias.T.astype(jnp.float32), h, axis=1)
+    w = jax.nn.softmax(logits, axis=0)                           # (S, TH)
+    out_full = jnp.dot(w.T.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32)       # (TH, H*D)
+    out = (out_full.reshape(th, h, d)
+           * oh.astype(jnp.float32)[:, :, None]).sum(axis=1)     # (TH, D)
+    return out.reshape(t, h, d).astype(q.dtype)
+
+
 def pos_cache_bias(q_pos, slot_pos, neg: float = NEG_INF):
     """Additive bias for a slot/position-decoupled cache.
 

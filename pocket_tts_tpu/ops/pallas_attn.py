@@ -1,10 +1,24 @@
 """Pallas flash-decode attention over the backbone's linear KV cache.
 
-The hot loop is one query token (T=1) attending to a 1024-slot cache that is
-mostly empty early in a sentence. The XLA sdpa path reads the whole cache
-every step; this kernel double-buffers 128-slot blocks HBM->VMEM and stops at
-the live prefix (ceil((end+1)/BS) blocks), cutting cache bandwidth by the
-fill factor — the dominant per-frame cost of the decode step.
+The hot loop is one query token (T=1) per stream attending to a KV cache
+that is mostly empty early in a sentence. The XLA sdpa path has two costs
+this kernel removes:
+
+  1. it reads the whole (bucketed) cache capacity every frame — the kernel
+     stops at the live prefix (ceil((end+1)/BS) blocks), cutting cache
+     bandwidth by the fill factor;
+  2. inside the decode while-loop XLA lays the batched cache carry out
+     S-major (the layout the one-slot insert prefers), which makes the
+     per-stream attention reads strided — measured 1.5x over
+     bandwidth-ideal. A Mosaic custom call requires default (B-major)
+     layouts, so its presence flips the carry layout and the reads stream
+     contiguously.
+
+Design: grid (B, NB) with BlockSpec-driven pipelining — Mosaic prefetches
+block (b, i+1) while (b, i) computes, including across stream boundaries
+(a manual DMA double-buffer restarts its pipeline per stream and was
+measured ~1.7x slower). Dead blocks clamp their index_map to the last live
+block: a revisited block issues no new copy, and pl.when skips its compute.
 
 Masking needs no position comparison at decode time: a slot is attendable
 iff its recorded position is >= 0 (written and not padding); all written
@@ -12,7 +26,9 @@ positions precede the current query by construction.
 
 Mosaic-friendly layout: caches stream as (BS, H*D) panels (the natural HBM
 layout of (S, H, D) — the reshape outside is a bitcast), heads are static
-lane slices, every intermediate is 2-D, flash stats are (1, H).
+lane slices, every intermediate is 2-D, flash stats are (1, H), and both
+contractions are native bf16 MXU passes (an f32 dot is multi-pass on the
+MXU; full-width f32 elementwise ops were the old kernel's main cost).
 
 Numerics match ops.attention.sdpa: logits/softmax in f32, same 1/sqrt(D)
 scale.
@@ -29,91 +45,73 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _decode_attn_kernel(end_ref, q_ref, pos_ref, k_hbm, v_hbm, out_ref,
-                        k_buf, v_buf, sems, *, block_size, num_heads,
-                        head_dim):
-    """Flash decode over grid=(B,): fori_loop over live cache blocks with
-    double-buffered DMA. Shapes (full arrays in VMEM, row-indexed by the
-    program id — per-batch blocking would violate the (8,128) block rules):
-      q_ref/out_ref: (B, H*D) VMEM; pos_ref: (B, NB, BS) VMEM int32;
-      k_hbm/v_hbm: (B, S, H*D) ANY; k_buf/v_buf: (2, BS, H*D) VMEM scratch.
+def _decode_attn_kernel(end_ref, qm_ref, pos_ref, k_ref, v_ref, out_ref,
+                        m_s, l_s, acc_s, *, num_heads, head_dim, nb_total):
+    """One (stream, cache-block) grid step of batched flash decode.
+
+    Block shapes: qm_ref (1, H, H*D) seg-masked query (built once in XLA —
+    rebuilding it per grid step cost real VPU time); pos_ref (1, NB, BS)
+    (the whole stream's positions — 1.5 KB); k_ref/v_ref (1, BS, H*D);
+    out_ref (1, 1, H*D). Scratch (persists across grid steps): m_s/l_s
+    (H, 1) f32 running max / normalizer, acc_s (H, H*D) f32 unnormalized
+    per-head output.
+
+    Everything is oriented so the per-slot mask adds LANE-wise ((H, BS)
+    logits): the transposed formulation needed a (1, BS) -> (BS, 1)
+    sublane relayout every step, a measurable per-step cost.
     """
-    b = pl.program_id(0)
-    bs = block_size
+    i = pl.program_id(1)
+    bs = k_ref.shape[1]
     h, d = num_heads, head_dim
-    nb_total = k_hbm.shape[1] // bs
     end = end_ref[0]
     nb = jnp.minimum((end + bs) // bs, nb_total)  # ceil((end+1)/bs), capped
 
-    q = q_ref[b].astype(jnp.float32)               # (1, H*D) from (B,1,H*D)
-    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    @pl.when(i == 0)
+    def _():
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
 
-    # head-segment matrix: M[h, i] = 1 iff lane i belongs to head h.
-    # Per-head reductions/broadcasts become MXU matmuls, which keeps every
-    # intermediate a full-width 2-D vector (Mosaic-friendly layouts).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (h, h * d), 1)
-    head = jax.lax.broadcasted_iota(jnp.int32, (h, h * d), 0)
-    seg = (lane // d == head).astype(jnp.float32)  # (H, H*D)
+    @pl.when(i < nb)
+    def _():
+        qm = qm_ref[0]                                 # (H, H*D) bf16
+        scale = 1.0 / jnp.sqrt(jnp.float32(d))
+        kb = k_ref[0]                                  # (BS, H*D) bf16
+        vb = v_ref[0]
+        posb = pos_ref[0, pl.ds(i, 1), :]              # (1, BS)
+        penalty = jnp.where(posb >= 0, 0.0, NEG_INF).astype(jnp.float32)
 
-    def dma(slot, blk, which):
-        src = k_hbm if which == 0 else v_hbm
-        buf = k_buf if which == 0 else v_buf
-        return pltpu.make_async_copy(
-            src.at[b, pl.ds(blk * bs, bs)],
-            buf.at[slot],
-            sems.at[which, slot],
-        )
-
-    # warm up both streams
-    dma(0, 0, 0).start()
-    dma(0, 0, 1).start()
-
-    def body(i, carry):
-        m, l, acc = carry                 # (1,H), (1,H), (1,H*D)
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
-
-        @pl.when(i + 1 < nb)
-        def _():
-            dma(nxt, i + 1, 0).start()
-            dma(nxt, i + 1, 1).start()
-
-        dma(slot, i, 0).wait()
-        dma(slot, i, 1).wait()
-
-        kb = k_buf[slot].astype(jnp.float32)       # (BS, H*D)
-        vb = v_buf[slot].astype(jnp.float32)
-        posb = pos_ref[b, i, :]                    # (BS,)
-        penalty = jnp.where(posb >= 0, 0.0,
-                            NEG_INF).astype(jnp.float32)[:, None]  # (BS,1)
-
-        # logits[s, h] = sum_{i in head h} kb[s, i] * q[0, i]
-        prod = kb * q                                        # (BS, H*D)
+        # logits[h, s] = sum_i qm[h, i] * kb[s, i] — native bf16 MXU pass
         logits = jax.lax.dot_general(
-            prod, seg, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + penalty  # (BS, H)
+            qm, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + penalty  # (H, BS)
 
-        m_blk = jnp.max(logits, axis=0, keepdims=True)       # (1, H)
+        m = m_s[...]                                         # (H, 1)
+        m_blk = jnp.max(logits, axis=1, keepdims=True)       # (H, 1)
         m_new = jnp.maximum(m, m_blk)
-        corr = jnp.exp(m - m_new)                            # (1, H)
-        p = jnp.exp(logits - m_new)                          # (BS, H)
-        l_new = l * corr + jnp.sum(p, axis=0, keepdims=True)
+        corr = jnp.exp(m - m_new)                            # (H, 1)
+        p = jnp.exp(logits - m_new)                          # (H, BS)
+        l_new = l_s[...] * corr + jnp.sum(p, axis=1, keepdims=True)
 
-        p_wide = jnp.dot(p, seg,
-                         preferred_element_type=jnp.float32)  # (BS, H*D)
-        pv = jnp.sum(p_wide * vb, axis=0, keepdims=True)      # (1, H*D)
-        corr_wide = jnp.dot(corr, seg,
-                            preferred_element_type=jnp.float32)
-        acc_new = acc * corr_wide + pv
-        return m_new, l_new, acc_new
+        # pv[h, i] = sum_s p[h, s] * vb[s, i]: second bf16 MXU pass
+        pvh = jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (H, H*D)
+        m_s[...] = m_new
+        l_s[...] = l_new
+        acc_s[...] = acc_s[...] * corr + pvh
 
-    m0 = jnp.full((1, h), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((1, h), jnp.float32)
-    acc0 = jnp.zeros((1, h * d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
-    l_wide = jnp.dot(jnp.maximum(l, 1e-30), seg,
-                     preferred_element_type=jnp.float32)
-    out_ref[b] = (acc / l_wide).astype(out_ref.dtype)
+    @pl.when(i == nb_total - 1)
+    def _():
+        # normalize per head, then collapse (H, H*D) to the (1, H*D) row:
+        # row h only holds meaningful lanes in segment h; the seg mask
+        # zeroes the rest before the sublane reduction.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (h, h * d), 1)
+        head = jax.lax.broadcasted_iota(jnp.int32, (h, h * d), 0)
+        seg = (lane // d == head).astype(jnp.float32)        # (H, H*D)
+        norm = acc_s[...] / jnp.maximum(l_s[...], 1e-30)
+        out_ref[0] = jnp.sum(norm * seg, axis=0,
+                             keepdims=True).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -128,39 +126,57 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
     assert s % block_size == 0, (s, block_size)
     nb = s // block_size
     kernel = functools.partial(
-        _decode_attn_kernel, block_size=block_size, num_heads=h, head_dim=d)
+        _decode_attn_kernel, num_heads=h, head_dim=d, nb_total=nb)
+
+    # seg-masked query built once here: qm[b, h, i] = q[b, h, i - h*d] for
+    # lanes i in head h's segment, 0 elsewhere — (B, H, H*D) bf16
+    eye = jnp.eye(h, dtype=q.dtype)
+    qm = (eye[:, :, None] * q[:, None]).reshape(bsz, h, h * d)
+
+    def live(i, end_v):
+        # clamp dead blocks onto the last live one: a revisited block
+        # fetches nothing and pl.when skips its compute
+        last = jnp.maximum((end_v[0] + block_size) // block_size - 1, 0)
+        return jnp.minimum(i, jnp.minimum(last, nb - 1))
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(bsz,),
+            grid=(bsz, nb),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),       # q (B, H*D)
-                pl.BlockSpec(memory_space=pltpu.VMEM),       # pos (B,NB,BS)
-                pl.BlockSpec(memory_space=pltpu.ANY),        # k_cache
-                pl.BlockSpec(memory_space=pltpu.ANY),        # v_cache
+                pl.BlockSpec((1, h, h * d), lambda b, i, e: (b, 0, 0),
+                             memory_space=pltpu.VMEM),      # qm
+                pl.BlockSpec((1, nb, block_size),
+                             lambda b, i, e: (b, 0, 0),
+                             memory_space=pltpu.VMEM),      # pos (whole row)
+                pl.BlockSpec((1, block_size, h * d),
+                             lambda b, i, e: (b, live(i, e), 0),
+                             memory_space=pltpu.VMEM),      # k
+                pl.BlockSpec((1, block_size, h * d),
+                             lambda b, i, e: (b, live(i, e), 0),
+                             memory_space=pltpu.VMEM),      # v
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((1, 1, h * d), lambda b, i, e: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, block_size, h * d), k_cache.dtype),
-                pltpu.VMEM((2, block_size, h * d), v_cache.dtype),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((h, 1), jnp.float32),
+                pltpu.VMEM((h, 1), jnp.float32),
+                pltpu.VMEM((h, h * d), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, 1, h * d), q.dtype),
         interpret=interpret,
     )(jnp.asarray(end, jnp.int32).reshape(1),
-      q.reshape(bsz, 1, h * d),
-      pos.reshape(bsz, nb, block_size),
-      k_cache, v_cache)
+      qm, pos.reshape(bsz, nb, block_size), k_cache, v_cache)
     return out.reshape(bsz, h, d)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_decode_attention(block_size: int, interpret: bool):
     """Single-stream decode attention with a custom vmap rule that dispatches
-    the explicitly-batched kernel (pallas can't auto-batch ANY-memory-space
-    operands)."""
+    the explicitly-batched kernel (so the engine's vmap lands here instead
+    of an unbatchable custom call)."""
 
     @jax.custom_batching.custom_vmap
     def fn(q, k_cache, v_cache, pos, end):
@@ -184,7 +200,17 @@ def _make_decode_attention(block_size: int, interpret: bool):
     return fn
 
 
-def decode_attention(q, k_cache, v_cache, pos, end, block_size: int = 128,
+def _pick_block(s: int) -> int:
+    """Largest divisor block <= 384: per-grid-step overhead (~0.3-0.8 us)
+    dominates DMA for small blocks, so fewer/bigger blocks win; 384 was the
+    measured optimum on v5e for the 384-slot bench bucket."""
+    for bs in (384, 256, 128):
+        if s % bs == 0:
+            return bs
+    return s
+
+
+def decode_attention(q, k_cache, v_cache, pos, end, block_size: int = None,
                      interpret: bool = False):
     """q: (H, D) single query; k/v_cache: (S, H, D) or flat (S, H*D);
     pos: (S,) int32 (-1 = invalid); end: () int32 last written slot index
@@ -194,5 +220,7 @@ def decode_attention(q, k_cache, v_cache, pos, end, block_size: int = 128,
         s = k_cache.shape[0]
         k_cache = k_cache.reshape(s, -1)
         v_cache = v_cache.reshape(s, -1)
+    if block_size is None:
+        block_size = _pick_block(k_cache.shape[0])
     return _make_decode_attention(block_size, interpret)(
         q, k_cache, v_cache, pos, jnp.asarray(end, jnp.int32))

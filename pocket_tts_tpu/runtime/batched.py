@@ -227,6 +227,13 @@ class BatchedEngine:
     def __init__(self, engine: TTSEngine, mesh=None):
         self.engine = engine
         self.mesh = mesh
+        if mesh is not None:
+            # GSPMD has no partitioning rule for the Mosaic decode-attention
+            # custom call; pin the XLA attention path for sharded serving
+            import dataclasses
+            engine.cfg = dataclasses.replace(
+                engine.cfg, backbone=dataclasses.replace(
+                    engine.cfg.backbone, use_pallas_attn=False))
 
     def prime_voices(self, prompts: Sequence[np.ndarray]):
         """prompts: list of (Tp_i, d_model) arrays -> stacked voice states.

@@ -211,6 +211,21 @@ class TestAttention:
         ).numpy().transpose(1, 0, 2)
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
+    @pytest.mark.parametrize("t", [1, 16])
+    def test_sdpa_seg_equals_sdpa(self, t):
+        # the MXU seg-matmul formulation over flat caches == plain sdpa
+        S, H, D = 48, 8, 16
+        q, k, v = rand(t, H, D), rand(S, H, D), rand(S, H, D)
+        bias = np.where(RNG.rand(t, S) > 0.3, 0.0, -1e9).astype(np.float32)
+        want = attention.sdpa(jnp.array(q), jnp.array(k), jnp.array(v),
+                              jnp.array(bias))
+        got = attention.sdpa_seg(jnp.array(q),
+                                 jnp.array(k.reshape(S, H * D)),
+                                 jnp.array(v.reshape(S, H * D)),
+                                 jnp.array(bias))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
     def test_ring_positions(self):
         # ref semantics (mimi_transformer.h:251-287): slot end_index holds
         # end_offset-1; older slots count down; unwritten slots are -1
