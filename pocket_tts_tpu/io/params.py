@@ -61,6 +61,27 @@ def _conv(flat, name, dtype):
     return out
 
 
+def _rope_permute(lin: dict, d_model: int, head_dim: int) -> dict:
+    """Reorder in_proj's q/k output columns so rope's even/odd interleaved
+    pairs arrive as contiguous halves (ops.rope.apply_rope_halves) — the
+    strided 0::2 slicing cost ~57 us of relayout copies per batch-32 frame.
+    Per head: columns [0,2,...,D-2, 1,3,...,D-1]. The v block and all other
+    weights are untouched; outputs are bit-identical.
+    """
+    w = np.asarray(lin["w"])                     # (in, 3*d_model)
+    perm_head = np.concatenate([np.arange(0, head_dim, 2),
+                                np.arange(1, head_dim, 2)])
+    perm_d = np.concatenate(
+        [h * head_dim + perm_head for h in range(d_model // head_dim)])
+    full = np.concatenate([perm_d, d_model + perm_d,
+                           2 * d_model + np.arange(d_model)])
+    out = {"w": jnp.asarray(w[:, full], lin["w"].dtype)}
+    if "b" in lin:
+        b = np.asarray(lin["b"])
+        out["b"] = jnp.asarray(b[full], lin["b"].dtype)
+    return out
+
+
 def _stack(dicts):
     """Stack a list of identically-structured dicts along a new axis 0."""
     import jax
@@ -136,7 +157,9 @@ def params_from_flat(flat: Dict[str, np.ndarray],
         pre = f"flow_lm.transformer.layers.{i}."
         layers.append({
             "norm1": _norm(flat, pre + "norm1", dtype),
-            "in_proj": _lin(flat, pre + "self_attn.in_proj", dtype),
+            "in_proj": _rope_permute(
+                _lin(flat, pre + "self_attn.in_proj", dtype),
+                d_model, cfg.backbone.head_dim),
             "out_proj": _lin(flat, pre + "self_attn.out_proj", dtype),
             "norm2": _norm(flat, pre + "norm2", dtype),
             "linear1": _lin(flat, pre + "linear1", dtype),
@@ -185,7 +208,9 @@ def params_from_flat(flat: Dict[str, np.ndarray],
         pre = f"mimi.decoder_transformer.transformer.layers.{i}."
         mlayers.append({
             "norm1": _norm(flat, pre + "norm1", dtype),
-            "in_proj": _lin(flat, pre + "self_attn.in_proj", dtype),
+            "in_proj": _rope_permute(
+                _lin(flat, pre + "self_attn.in_proj", dtype),
+                mimi_dim, cfg.mimi.transformer.head_dim),
             "out_proj": _lin(flat, pre + "self_attn.out_proj", dtype),
             "layer_scale_1": {
                 "scale": jnp.asarray(flat[pre + "layer_scale_1.scale"], dtype)},

@@ -25,7 +25,7 @@ from flax import struct
 from ..config import BackboneConfig
 from ..ops.attention import pos_cache_bias, sdpa, sdpa_decode_seg
 from ..ops.basic import gelu, layer_norm, linear
-from ..ops.rope import apply_rope, rope_cos_sin
+from ..ops.rope import apply_rope_halves as apply_rope, rope_cos_sin
 
 
 @struct.dataclass

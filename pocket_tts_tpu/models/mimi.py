@@ -19,14 +19,14 @@ from ..ops.conv import depthwise_upsample
 
 @struct.dataclass
 class MimiState:
-    upsample_prev: jax.Array  # (dim, upsample_kernel) overlap-add carry
+    upsample_prev: jax.Array  # (upsample_kernel, dim) overlap-add carry
     transformer: mimi_transformer.MimiTransformerState
     seanet: dict
 
 
 def init_state(cfg: MimiConfig, dtype=jnp.float32) -> MimiState:
     return MimiState(
-        upsample_prev=jnp.zeros((cfg.dim, cfg.upsample_kernel), dtype),
+        upsample_prev=jnp.zeros((cfg.upsample_kernel, cfg.dim), dtype),
         transformer=mimi_transformer.init_state(cfg.transformer, dtype),
         seanet=seanet.init_state(cfg.seanet, cfg.upsample_stride, dtype),
     )
@@ -43,24 +43,25 @@ def decode_frame(p, cfg: MimiConfig, state: MimiState, latent,
     x = jnp.dot(p["quantizer"]["w"][:, :, 0], latent,
                 preferred_element_type=jnp.float32).astype(latent.dtype)
 
-    # depthwise 16x upsample with overlap-add (T=1 -> 16 emitted steps)
+    # depthwise 16x upsample with overlap-add (T=1 -> 16 emitted steps);
+    # everything from here runs time-major — the transformer consumes the
+    # (16, dim) rows directly and seanet keeps them (the old channel-major
+    # chain paid transposes into and out of the transformer every frame)
     k, s = cfg.upsample_kernel, cfg.upsample_stride
-    y = depthwise_upsample(p["upsample"], x[:, None], k, s)  # (dim, k) pre-bias
-    y = y.at[:, : k - s].add(state.upsample_prev[:, s:])
+    y = depthwise_upsample(p["upsample"], x[None, :], k, s)  # (k, dim)
+    y = y.at[: k - s].add(state.upsample_prev[s:])
     new_prev = y
     b = p["upsample"].get("b")
     if b is not None:
-        y = y + b[:, None]
-    emb = y[:, : k - s]  # (dim, 16)
+        y = y + b[None, :]
+    emb = y[: k - s]  # (16, dim)
 
-    # transformer works time-major (ref transposes in/out,
-    # mimi_transformer.h:1347-1356)
     tstate, z = mimi_transformer.forward(
-        p["decoder_transformer"], cfg.transformer, state.transformer, emb.T,
+        p["decoder_transformer"], cfg.transformer, state.transformer, emb,
         gelu_approx)
 
-    sstate, pcm = seanet.forward(p["decoder"], cfg.seanet, state.seanet, z.T)
+    sstate, pcm = seanet.forward(p["decoder"], cfg.seanet, state.seanet, z)
     return (
         MimiState(upsample_prev=new_prev, transformer=tstate, seanet=sstate),
-        pcm[0],
+        pcm[:, 0],
     )

@@ -20,7 +20,7 @@ from flax import struct
 from ..config import MimiTransformerConfig
 from ..ops.attention import cache_insert_ring, ring_cache_bias, sdpa_seg
 from ..ops.basic import gelu, layer_norm, linear
-from ..ops.rope import apply_rope, rope_cos_sin
+from ..ops.rope import apply_rope_halves as apply_rope, rope_cos_sin
 
 
 @struct.dataclass

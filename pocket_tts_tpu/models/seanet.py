@@ -12,8 +12,8 @@ and defaults at models/defaults.h:44-122):
   elu
   model_11: streaming conv k3 s1, 64->1
 
-All convs operate on (C, T) for one stream; each frame of 16 input steps
-yields exactly 16*120 = 1920 samples.
+All convs operate TIME-MAJOR on (T, C) for one stream (see ops/conv.py for
+why); each frame of 16 input steps yields exactly 16*120 = 1920 samples.
 """
 from __future__ import annotations
 
@@ -54,7 +54,7 @@ def _resnet(p, prev, x, kernel: int):
 
 
 def forward(p, cfg: SeanetConfig, state, x):
-    """x: (in_ch, T) -> (new_state, pcm (1, T * total_stride))."""
+    """x: (T, in_ch) -> (new_state, pcm (T * total_stride, 1))."""
     new_state = {}
     new_state["model_0"], x = streaming_conv1d(
         p["model_0"], state["model_0"], x, stride=1)

@@ -54,3 +54,28 @@ def apply_rope_qk(q, k, positions, max_period: float):
     """Apply rope to q and k, shapes (T, H, D), positions (T,)."""
     cos, sin = rope_cos_sin(positions, q.shape[-1], max_period)
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+
+
+def apply_rope_halves(x, cos, sin):
+    """Rope for PRE-PERMUTED projections: identical output bytes to
+    `apply_rope`, zero data movement.
+
+    apply_rope's even/odd interleaved slicing lowers to strided lane
+    gathers that XLA materializes as relayout copies — measured ~57 us per
+    batch-32 frame. Since q/k come straight out of in_proj, the loader
+    instead permutes the in_proj COLUMNS (even indices first, then odd —
+    io/params.py `_rope_permute`) so re/im arrive as contiguous halves:
+    re = x[..., :D/2] equals the unpermuted x[..., 0::2] exactly, and the
+    output concat([re*c - im*s, re*s + im*c]) is the reference's
+    concat-halves layout unchanged (rope.h:267-268). Cached K rows are
+    rope'd, so nothing outside q/k ever sees the permutation.
+    """
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    re = x[..., :half]
+    im = x[..., half:]
+    c = cos[..., :, None, :]
+    s = sin[..., :, None, :]
+    return jnp.concatenate(
+        [re * c - im * s, re * s + im * c], axis=-1).astype(orig_dtype)

@@ -279,8 +279,8 @@ def test_seanet_streaming_vs_offline():
     outs = []
     for f in range(frames):
         state, y = seanet.forward(PARAMS["mimi"]["decoder"], sc, state,
-                                  jnp.array(x[:, f * tpf:(f + 1) * tpf]))
-        outs.append(np.asarray(y))
+                                  jnp.array(x[:, f * tpf:(f + 1) * tpf].T))
+        outs.append(np.asarray(y).T)
     got = np.concatenate(outs, -1)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-4)
@@ -313,13 +313,13 @@ def test_upsample_overlap_add_vs_torch():
                               stride=s, groups=ch)[0].numpy()[:, : n * s]
 
     from pocket_tts_tpu.ops.conv import depthwise_upsample
-    prev = jnp.zeros((ch, k))
+    prev = jnp.zeros((k, ch))
     outs = []
     p = PARAMS["mimi"]["upsample"]
     for i in range(n):
-        y = depthwise_upsample(p, jnp.array(xs[:, i:i + 1]), k, s)
-        y = y.at[:, : k - s].add(prev[:, s:])
+        y = depthwise_upsample(p, jnp.array(xs[:, i:i + 1].T), k, s)
+        y = y.at[: k - s].add(prev[s:])
         prev = y
-        outs.append(np.asarray(y[:, : k - s]))
+        outs.append(np.asarray(y[: k - s]).T)
     got = np.concatenate(outs, -1)
     np.testing.assert_allclose(got, want, atol=1e-4)

@@ -94,6 +94,17 @@ class TestRope:
         got = rope.apply_rope(jnp.array(x), cos, sin)
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
 
+    def test_halves_equals_interleaved_on_permuted_input(self):
+        # the loader permutes in_proj columns (evens then odds per head) so
+        # apply_rope_halves(P(x)) must equal apply_rope(x) bit-for-bit
+        T, H, D = 5, 3, 16
+        x = rand(T, H, D)
+        perm = np.concatenate([np.arange(0, D, 2), np.arange(1, D, 2)])
+        cos, sin = rope.rope_cos_sin(jnp.arange(7, 7 + T), D, 10000.0)
+        want = rope.apply_rope(jnp.asarray(x), cos, sin)
+        got = rope.apply_rope_halves(jnp.asarray(x[..., perm]), cos, sin)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_dot_product_relative(self):
         # q.k after rope depends only on relative distance
         H, D = 2, 16
@@ -123,10 +134,10 @@ class TestConv:
         w = rand(cout, cin, k, s=0.2)
         b = rand(cout)
         got = conv.conv1d({"w": jnp.array(w), "b": jnp.array(b)},
-                          jnp.array(x), stride)
+                          jnp.array(x.T), stride)   # ops are time-major
         want = F.conv1d(torch.tensor(x)[None], torch.tensor(w),
                         torch.tensor(b), stride=stride)[0].numpy()
-        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got).T, want, atol=1e-4)
 
     @pytest.mark.parametrize("cin,cout,k,stride,t", [
         (8, 4, 12, 6, 10),   # K == 2*stride fast path
@@ -138,10 +149,10 @@ class TestConv:
         w = rand(cin, cout, k, s=0.2)
         b = rand(cout)
         got = conv.conv_transpose1d({"w": jnp.array(w), "b": jnp.array(b)},
-                                    jnp.array(x), stride)
+                                    jnp.array(x.T), stride)
         want = F.conv_transpose1d(torch.tensor(x)[None], torch.tensor(w),
                                   torch.tensor(b), stride=stride)[0].numpy()
-        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got).T, want, atol=1e-4)
 
     def test_streaming_conv_equals_offline(self):
         # feeding chunks through streaming_conv1d == causal offline conv
@@ -153,12 +164,12 @@ class TestConv:
         prev = conv.conv1d_init_state(cin, k)
         outs = []
         for c in chunks:
-            prev, y = conv.streaming_conv1d(p, prev, jnp.array(c))
-            outs.append(np.asarray(y))
+            prev, y = conv.streaming_conv1d(p, prev, jnp.array(c.T))
+            outs.append(np.asarray(y).T)
         got = np.concatenate(outs, -1)
         # offline causal: left-pad with k-1 zeros
         want = np.asarray(conv.conv1d(
-            p, jnp.array(np.pad(full, ((0, 0), (k - 1, 0))))))
+            p, jnp.array(np.pad(full, ((0, 0), (k - 1, 0))).T))).T
         np.testing.assert_allclose(got, want, atol=1e-4)
 
     def test_streaming_convtr_equals_offline(self):
@@ -172,8 +183,9 @@ class TestConv:
         prev = conv.conv_transpose1d_init_state(cout, k, s, tin)
         outs = []
         for c in chunks:
-            prev, y = conv.streaming_conv_transpose1d(p, prev, jnp.array(c), s)
-            outs.append(np.asarray(y))
+            prev, y = conv.streaming_conv_transpose1d(p, prev,
+                                                      jnp.array(c.T), s)
+            outs.append(np.asarray(y).T)
         got = np.concatenate(outs, -1)
         want_full = F.conv_transpose1d(
             torch.tensor(full)[None], torch.tensor(np.asarray(p["w"])),
@@ -185,10 +197,11 @@ class TestConv:
         ch, k, s = 16, 32, 16
         x = rand(ch, 1)
         w = rand(ch, 1, k, s=0.2)
-        got = conv.depthwise_upsample({"w": jnp.array(w)}, jnp.array(x), k, s)
+        got = conv.depthwise_upsample({"w": jnp.array(w)}, jnp.array(x.T),
+                                      k, s)
         want = F.conv_transpose1d(torch.tensor(x)[None], torch.tensor(w),
                                   stride=s, groups=ch)[0].numpy()
-        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got).T, want, atol=1e-5)
 
 
 # ---------------------------------------------------------------------------
