@@ -157,24 +157,29 @@ def main():
 
     # quantized B=1 decode (fused Pallas dequant-matmul, VERDICT r1 #4)
     from pocket_tts_tpu.io.quant import quantize_params
-    params_q = quantize_params(params, bits=8)
-    vstate_q = tts.jit_prime_voice(
-        params_q, cfg, backbone.init_state(cfg.backbone, dtype), prompt,
-        jnp.int32(120))
-    vstate_q = backbone.shrink_state(vstate_q, 384)
-    state0_q = tts.jit_sentence_prefill(params_q, cfg, vstate_q,
-                                        mimi_template, tokens,
-                                        jnp.int32(len(ids)))
 
-    def run_q():
-        _, pcm, valid = tts.jit_decode_sentence(
-            params_q, cfg, state0_q, rng, temp, fae, jnp.int32(max_steps),
-            scan_len)
-        return pcm, valid
+    def quant_fps(bits):
+        params_q = quantize_params(params, bits=bits)
+        vstate_q = tts.jit_prime_voice(
+            params_q, cfg, backbone.init_state(cfg.backbone, dtype), prompt,
+            jnp.int32(120))
+        vstate_q = backbone.shrink_state(vstate_q, 384)
+        state0_q = tts.jit_sentence_prefill(params_q, cfg, vstate_q,
+                                            mimi_template, tokens,
+                                            jnp.int32(len(ids)))
 
-    fetch(run_q())  # compile + warm
-    dms_q, _ = device_ms(run_q, fetch, match="decode_sentence")
-    fps_int8 = frames / (dms_q / 1e3)
+        def run_q():
+            _, pcm, valid = tts.jit_decode_sentence(
+                params_q, cfg, state0_q, rng, temp, fae, jnp.int32(max_steps),
+                scan_len)
+            return pcm, valid
+
+        fetch(run_q())  # compile + warm
+        dms_q, _ = device_ms(run_q, fetch, match="decode_sentence")
+        return frames / (dms_q / 1e3)
+
+    fps_int8 = quant_fps(8)
+    fps_int4 = quant_fps(4)
 
     # batched aggregate throughput (32 sentences x 32 voices; BASELINE cfg 4)
     B = 32
@@ -229,6 +234,7 @@ def main():
         "roofline_fps_b1": round(roof_fps, 1),
         "bytes_per_frame_mb": round(bytes_pf / 1e6, 1),
         "int8_frames_per_second": round(fps_int8, 2),
+        "int4_frames_per_second": round(fps_int4, 2),
         "wall_fps_single": round(frames / wall, 2),
         "wall_fps_batch32": round(frames * B / wallb, 2),
         "dtype": "bfloat16",

@@ -69,15 +69,15 @@ class TestStreamingConvProperty:
              "b": jnp.asarray(rng.randn(cout).astype(np.float32))}
         full = rng.randn(cin, 50).astype(np.float32)
         want = np.asarray(conv.conv1d(
-            p, jnp.asarray(np.pad(full, ((0, 0), (k - 1, 0))))))
+            p, jnp.asarray(np.pad(full, ((0, 0), (k - 1, 0))).T))).T
         for sizes in [[50], [10] * 5, [1] * 50, [3, 17, 8, 22]]:
             prev = conv.conv1d_init_state(cin, k)
             outs = []
             i = 0
             for n in sizes:
                 prev, y = conv.streaming_conv1d(p, prev,
-                                                jnp.asarray(full[:, i:i + n]))
-                outs.append(np.asarray(y))
+                                                jnp.asarray(full[:, i:i + n].T))
+                outs.append(np.asarray(y).T)
                 i += n
             got = np.concatenate(outs, -1)
             np.testing.assert_allclose(got, want, atol=1e-4, err_msg=str(sizes))
