@@ -206,6 +206,30 @@ def main():
     fetch(runb())  # compile + warm
     dmsb, wallb = device_ms(runb, fetch, match="decode_sentence")
     fps_batch = frames * B / (dmsb / 1e3)
+
+    # batched int4: weights stream once per frame as packed nibbles (the
+    # custom vmap rule collapses the batch into matmul rows)
+    params_q4 = quantize_params(params, bits=4)
+    vs4 = batched_prime_voice(params_q4, cfg,
+                              stack_states([backbone.init_state(cfg.backbone,
+                                                                dtype)
+                                            for _ in range(B)]),
+                              prompts, jnp.full((B,), 120, jnp.int32))
+    vs4 = backbone.shrink_state(vs4, 384)
+    sts4 = batched_sentence_prefill(params_q4, cfg, vs4, mimi_template,
+                                    toks_b, jnp.full((B,), len(ids),
+                                                     jnp.int32))
+
+    def runb4():
+        _, pcm, valid = batched_decode_sentence(
+            params_q4, cfg, sts4, rngs, jnp.full((B,), 0.0, jnp.float32),
+            jnp.full((B,), 3, jnp.int32), jnp.full((B,), max_steps,
+                                                   jnp.int32), scan_len)
+        return pcm, valid
+
+    fetch(runb4())
+    dmsb4, _ = device_ms(runb4, fetch, match="decode_sentence")
+    fps_batch_int4 = frames * B / (dmsb4 / 1e3)
     # batched roofline: weights read once per frame for ALL streams; KV
     # reads scale with B
     kv_b = (cfg.backbone.num_layers * 2 * 384 * cfg.backbone.d_model
@@ -227,6 +251,7 @@ def main():
         "compile_s": round(compile_s, 2),
         "batch32_frames_per_second": round(fps_batch, 2),
         "batch32_rtf": round(fps_batch / cfg.mimi.frame_rate, 2),
+        "batch32_int4_frames_per_second": round(fps_batch_int4, 2),
         "hbm_bw_util": round(hbm_bw_util, 3),
         "mfu": round(mfu, 4),
         "hbm_bw_util_batch32": round(bw_util_batch, 3),

@@ -39,6 +39,18 @@ def _n_tile(n: int, prefer=(512, 256, 128)) -> int:
     return n
 
 
+def _m_tile(t: int, cap: int = 256) -> int:
+    """Row-tile height: the collapsed batched prefill feeds thousands of
+    rows (B x T), and an untiled (t, K) x-block VMEM-OOMs; decode feeds
+    1-32 rows, which stay a single tile."""
+    if t <= cap:
+        return t
+    for mt in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if t % mt == 0:
+            return mt
+    return 1
+
+
 # ---------------------------------------------------------------------------
 # int8
 # ---------------------------------------------------------------------------
@@ -47,18 +59,19 @@ def _w_specs(q, scale, layer, nt):
     """BlockSpecs reading the weight/scale directly from a stacked
     (L, K, N) array at static `layer` — avoids the per-frame
     slice-materialization XLA inserts for custom-call operands (measured
-    ~45 us/frame of pure copies on the stacked backbone weights)."""
+    ~45 us/frame of pure copies on the stacked backbone weights).
+    Grid is (row_tiles, n_tiles); weights ignore the row index."""
     if layer is None:
         k, n = q.shape
-        wspec = pl.BlockSpec((k, nt), lambda j: (0, j),
+        wspec = pl.BlockSpec((k, nt), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM)
-        sspec = pl.BlockSpec((1, nt), lambda j: (0, j),
+        sspec = pl.BlockSpec((1, nt), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM)
         return wspec, sspec, q, scale.reshape(1, n).astype(jnp.float32)
     _, k, n = q.shape
-    wspec = pl.BlockSpec((1, k, nt), lambda j, l=layer: (l, 0, j),
+    wspec = pl.BlockSpec((1, k, nt), lambda i, j, l=layer: (l, 0, j),
                          memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((1, 1, nt), lambda j, l=layer: (l, 0, j),
+    sspec = pl.BlockSpec((1, 1, nt), lambda i, j, l=layer: (l, 0, j),
                          memory_space=pltpu.VMEM)
     return wspec, sspec, q, scale.reshape(-1, 1, n).astype(jnp.float32)
 
@@ -79,16 +92,18 @@ def int8_matmul_pallas(x, q, scale, layer=None, interpret: bool = False):
     t, k = x.shape
     n = q.shape[-1]
     nt = _n_tile(n)
+    mt = _m_tile(t)
     wspec, sspec, q, scale = _w_specs(q, scale, layer, nt)
     return pl.pallas_call(
         _int8_kernel,
-        grid=(n // nt,),
+        grid=(t // mt, n // nt),
         in_specs=[
-            pl.BlockSpec((t, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mt, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
             wspec,
             sspec,
         ],
-        out_specs=pl.BlockSpec((t, nt), lambda j: (0, j),
+        out_specs=pl.BlockSpec((mt, nt), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
         interpret=interpret,
@@ -152,16 +167,18 @@ def int4_matmul_pallas(x, q4, scale, layer=None, interpret: bool = False):
     kh, n = q4.shape[-2:]
     assert kh * 2 == k, (q4.shape, x.shape)
     nt = _n_tile(n)
+    mt = _m_tile(t)
     wspec, sspec, q4, scale = _w_specs(q4, scale, layer, nt)
     return pl.pallas_call(
         _int4_kernel,
-        grid=(n // nt,),
+        grid=(t // mt, n // nt),
         in_specs=[
-            pl.BlockSpec((t, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mt, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
             wspec,
             sspec,
         ],
-        out_specs=pl.BlockSpec((t, nt), lambda j: (0, j),
+        out_specs=pl.BlockSpec((mt, nt), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
         interpret=interpret,
@@ -176,31 +193,54 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _core(x2, q, scale, bits, layer):
+    if _use_pallas():
+        if bits == 8:
+            return int8_matmul_pallas(x2, q, scale, layer)
+        return int4_matmul_pallas(x2, q, scale, layer)
+    if layer is not None:
+        q, scale = q[layer], scale[layer]
+    w = (q.astype(x2.dtype) if bits == 8 else unpack_int4(q, x2.dtype))
+    return (jnp.dot(x2, w, preferred_element_type=jnp.float32)
+            * scale).astype(x2.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_qmm(bits: int, layer):
+    """(T, K) x quantized-weight matmul with a custom vmap rule that
+    COLLAPSES the batch into rows: a naively vmapped Pallas call would run
+    one grid program per stream, re-reading the (shared) weight bytes B
+    times — the whole point of quantization at batch is to stream them
+    once. Rows of x are independent, so vmap == stacking."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(x, q, scale):
+        return _core(x, q, scale, bits, layer)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, x, q, scale):
+        xb, qb, sb = in_batched
+        assert not qb and not sb, "quantized weights must be batch-shared"
+        if not xb:
+            x = jnp.broadcast_to(x, (axis_size,) + x.shape)
+        t = x.shape[1]
+        y = fn(x.reshape(axis_size * t, x.shape[-1]), q, scale)
+        return y.reshape(axis_size, t, -1), True
+
+    return fn
+
+
 def int8_matmul(x, q, scale, layer=None):
     """Backend dispatch. x (..., K); q (K, N) or (L, K, N) with static
     layer; scale (N,) / (L, N)."""
     squeeze = x.ndim == 1
     x2 = x[None] if squeeze else x
-    if _use_pallas():
-        y = int8_matmul_pallas(x2, q, scale, layer)
-    else:
-        if layer is not None:
-            q, scale = q[layer], scale[layer]
-        y = (jnp.dot(x2, q.astype(x2.dtype),
-                     preferred_element_type=jnp.float32)
-             * scale).astype(x2.dtype)
+    y = _make_qmm(8, layer)(x2, q, scale)
     return y[0] if squeeze else y
 
 
 def int4_matmul(x, q4, scale, layer=None):
     squeeze = x.ndim == 1
     x2 = x[None] if squeeze else x
-    if _use_pallas():
-        y = int4_matmul_pallas(x2, q4, scale, layer)
-    else:
-        if layer is not None:
-            q4, scale = q4[layer], scale[layer]
-        w = unpack_int4(q4, x2.dtype)
-        y = (jnp.dot(x2, w, preferred_element_type=jnp.float32)
-             * scale).astype(x2.dtype)
+    y = _make_qmm(4, layer)(x2, q4, scale)
     return y[0] if squeeze else y

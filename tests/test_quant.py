@@ -151,3 +151,49 @@ class TestInt4AndKernels:
         pcm = eng.synthesize("Four bit weights still speak.", voice,
                              temp=0.0)
         assert pcm.size > 0 and np.isfinite(pcm).all()
+
+
+class TestQuantBatched:
+    def test_vmap_collapses_to_rows(self):
+        """The custom vmap rule must stack the batch into matmul rows and
+        produce exactly the per-stream results (a naive per-stream pallas
+        dispatch would also re-read the weights B times)."""
+        rng = np.random.RandomState(3)
+        w = rng.randn(64, 128).astype(np.float32) * 0.05
+        xs = rng.randn(5, 3, 64).astype(np.float32)   # B=5 streams, T=3
+        pq = quantize_params({"lin": {"w": jnp.array(w)}})["lin"]
+        got = jax.vmap(lambda x: linear(pq, x))(jnp.array(xs))
+        want = np.stack([np.asarray(linear(pq, jnp.array(x))) for x in xs])
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    def test_batched_decode_matches_single_quantized(self):
+        """Batched int8 decode == per-stream int8 decode (same audio)."""
+        from pocket_tts_tpu.models import backbone, mimi, tts
+        from pocket_tts_tpu.runtime.batched import (batched_decode_sentence,
+                                                    batched_sentence_prefill,
+                                                    stack_states)
+        pq = quantize_params(PARAMS)
+        b, scan = 3, 8
+        tok = np.zeros((b, 8), np.int32)
+        tok[:, :4] = np.arange(4) + 5
+        vs = stack_states([backbone.init_state(CFG.backbone)
+                           for _ in range(b)])
+        mt = mimi.init_state(CFG.mimi)
+        sts = batched_sentence_prefill(pq, CFG, vs, mt, jnp.asarray(tok),
+                                       jnp.full((b,), 4, jnp.int32))
+        rngs = jnp.stack([jax.random.PRNGKey(i) for i in range(b)])
+        _, pcm_b, valid_b = batched_decode_sentence(
+            pq, CFG, sts, rngs, jnp.zeros((b,), jnp.float32),
+            jnp.full((b,), 2, jnp.int32), jnp.full((b,), 30, jnp.int32),
+            scan)
+        for i in range(b):
+            st1 = tts.jit_sentence_prefill(
+                pq, CFG, backbone.init_state(CFG.backbone), mt,
+                jnp.asarray(tok[i]), jnp.int32(4))
+            _, pcm1, valid1 = tts.jit_decode_sentence(
+                pq, CFG, st1, jax.random.PRNGKey(i), jnp.float32(0.0),
+                jnp.int32(2), jnp.int32(30), scan)
+            np.testing.assert_allclose(np.asarray(pcm_b[i]),
+                                       np.asarray(pcm1), atol=2e-5)
+            np.testing.assert_array_equal(np.asarray(valid_b[i]),
+                                          np.asarray(valid1))
