@@ -51,6 +51,9 @@ def build_parser():
                    choices=["int8", "q8", "int4", "q4"],
                    help="per-channel weight quantization (fused Pallas "
                         "dequant-matmul on TPU)")
+    p.add_argument("--quantize-kv", action="store_true",
+                   help="int8 KV cache (per-row scales): serving-throughput "
+                        "mode, halves decode attention cache reads")
     p.add_argument("--save-cache", default=None, metavar="PATH",
                    help="save the params cache (.safetensors or .gguf; the "
                         "reference's GGUF-conversion pipeline)")
@@ -140,12 +143,14 @@ def main(argv=None):
         from .io.params import random_params, random_voice_prompt
         params, cfg = random_params(base_cfg)
         engine = TTSEngine(params=params, cfg=cfg, seed=seed,
-                           quantize=args.quantize)
+                           quantize=args.quantize,
+                           quantize_kv=args.quantize_kv)
         voice = random_voice_prompt(cfg)
     else:
         engine = TTSEngine(model_path=model_path, seed=seed,
                            cfg=base_cfg if args.reference_exact else None,
-                           quantize=args.quantize)
+                           quantize=args.quantize,
+                           quantize_kv=args.quantize_kv)
         voice = args.voice
     engine.set_seed(seed)
 

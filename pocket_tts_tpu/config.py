@@ -41,6 +41,11 @@ class BackboneConfig:
     # seg-matmul elsewhere); True forces it (interpret mode off-TPU —
     # slow, tests only); False forces the XLA path.
     use_pallas_attn: bool = None
+    # Opt-in int8 KV cache (per-row absmax scales): halves the decode
+    # attention's cache reads — the dominant batched cost once weights are
+    # quantized. Off by default (reference numerics keep the cache in the
+    # compute dtype); enable for serving throughput.
+    quantize_kv: bool = False
     # additive bias for masked attention slots: -1e9 (ours, negligible after
     # softmax) vs the reference's -1e5 "can't use infinity" hack
     # (torch.h:124-143). A/B switch for real-weights bit comparison.

@@ -38,26 +38,46 @@ class BackboneState:
     # Rows are stored FLAT (S, H*Dh): the decode attention matmuls consume
     # that layout directly; reshaping a cache inside jit breaks in-place
     # aliasing and was measured as 12 full-cache copies per frame.
-    k: tuple          # L x (S, H*Dh)
+    k: tuple          # L x (S, H*Dh) — int8 when cfg.quantize_kv
     v: tuple          # L x (S, H*Dh)
     pos: jax.Array      # (S,) int32 — absolute position per slot, -1 invalid
     end: jax.Array      # () int32 — next write slot (batch-uniform)
     next_pos: jax.Array  # () int32 — next absolute position (per-stream)
+    # per-row absmax dequant scales, (S,) f32 per layer; None unless the
+    # int8 KV cache is enabled (None subtrees vanish from the pytree, so
+    # nothing else changes shape)
+    k_scale: tuple = None
+    v_scale: tuple = None
 
 
 def init_state(cfg: BackboneConfig, dtype=jnp.float32) -> BackboneState:
     shape = (cfg.kv_capacity, cfg.num_heads * cfg.head_dim)
+    cache_dtype = jnp.int8 if cfg.quantize_kv else dtype
+    scales = (tuple(jnp.zeros((cfg.kv_capacity,), jnp.float32)
+                    for _ in range(cfg.num_layers))
+              if cfg.quantize_kv else None)
     return BackboneState(
-        k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
-        v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+        k=tuple(jnp.zeros(shape, cache_dtype) for _ in range(cfg.num_layers)),
+        v=tuple(jnp.zeros(shape, cache_dtype) for _ in range(cfg.num_layers)),
         pos=jnp.full((cfg.kv_capacity,), -1, jnp.int32),
         end=jnp.zeros((), jnp.int32),
         next_pos=jnp.zeros((), jnp.int32),
+        k_scale=scales,
+        v_scale=scales,
     )
 
 
-def _layer(p, x, k_cache, v_cache, end, cos, sin, bias, pos_vec,
-           num_heads: int, gelu_approx: bool, pallas_mode: str):
+def quantize_rows(x):
+    """(T, H*D) -> (int8 rows, (T,) f32 absmax scales)."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[:, None]),
+                 -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
+           pos_vec, num_heads: int, gelu_approx: bool, pallas_mode: str):
     """One pre-LN layer. ref: streaming_transformer_layer_forward,
     transformer.h:253-278; attention transformer.h:55-199.
 
@@ -74,36 +94,57 @@ def _layer(p, x, k_cache, v_cache, end, cos, sin, bias, pos_vec,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     s_cap = k_cache.shape[-2]
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, k.reshape(t, dm).astype(k_cache.dtype), (end, 0))
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, v.reshape(t, dm).astype(v_cache.dtype), (end, 0))
+    k_rows = k.reshape(t, dm)
+    v_rows = v.reshape(t, dm)
+    quant = k_cache.dtype == jnp.int8
+    if quant:
+        k_q, k_s = quantize_rows(k_rows)
+        v_q, v_s = quantize_rows(v_rows)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_q, (end, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_q, (end, 0))
+        k_scale = jax.lax.dynamic_update_slice(k_scale, k_s, (end,))
+        v_scale = jax.lax.dynamic_update_slice(v_scale, v_s, (end,))
+    else:
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_rows.astype(k_cache.dtype), (end, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_rows.astype(v_cache.dtype), (end, 0))
     if pallas_mode != "off" and t == 1:
         from ..ops.pallas_attn import decode_attention
         attn = decode_attention(
             q[0], k_cache, v_cache, pos_vec, end,
+            k_scale=k_scale, v_scale=v_scale,
             interpret=(pallas_mode == "interpret"))[None]
-    elif t == 1:
-        # MXU-matmul formulation over the flat cache — the natural einsum
-        # lowers to VPU multiply-reduce far below memory bandwidth at T=1
-        attn = sdpa_decode_seg(q, k_cache.astype(q.dtype),
-                               v_cache.astype(q.dtype), bias)
     else:
-        # prefill: reshape copies the cache once per prefill call —
-        # acceptable off the per-frame path.
-        # NOTE: a lax.switch over static cache prefixes (read only the live
-        # region) was measured 1.8x SLOWER batched — XLA copies the sliced
-        # cache into each branch. Dynamic-length reads need Pallas.
-        attn = sdpa(q,
-                    k_cache.reshape(s_cap, num_heads,
-                                    dm // num_heads).astype(q.dtype),
-                    v_cache.reshape(s_cap, num_heads,
-                                    dm // num_heads).astype(q.dtype),
-                    bias)
+        if quant:
+            # XLA fallback: dequantize in full (correct everywhere; the
+            # Pallas kernel above is the fast path this mode exists for)
+            k_deq = (k_cache.astype(jnp.float32)
+                     * k_scale[:, None]).astype(q.dtype)
+            v_deq = (v_cache.astype(jnp.float32)
+                     * v_scale[:, None]).astype(q.dtype)
+        else:
+            k_deq = k_cache.astype(q.dtype)
+            v_deq = v_cache.astype(q.dtype)
+        if t == 1:
+            # MXU-matmul formulation over the flat cache — the natural
+            # einsum lowers to VPU multiply-reduce far below memory
+            # bandwidth at T=1
+            attn = sdpa_decode_seg(q, k_deq, v_deq, bias)
+        else:
+            # prefill: reshape copies the cache once per prefill call —
+            # acceptable off the per-frame path.
+            # NOTE: a lax.switch over static cache prefixes (read only the
+            # live region) was measured 1.8x SLOWER batched — XLA copies
+            # the sliced cache into each branch.
+            attn = sdpa(q,
+                        k_deq.reshape(s_cap, num_heads, dm // num_heads),
+                        v_deq.reshape(s_cap, num_heads, dm // num_heads),
+                        bias)
     x = x + linear(p["out_proj"], attn.reshape(t, dm))
     h = layer_norm(p["norm2"], x, eps=1e-5)
     x = x + linear(p["linear2"], gelu(linear(p["linear1"], h), gelu_approx))
-    return x, k_cache, v_cache
+    return x, k_cache, v_cache, k_scale, v_scale
 
 
 def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
@@ -134,15 +175,22 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
         bias = pos_cache_bias(positions, pos_vec, neg=cfg.mask_value)
 
     from ..ops.basic import slice_layer_params
-    k_new, v_new = [], []
+    k_new, v_new, ks_new, vs_new = [], [], [], []
     for l in range(cfg.num_layers):
         layer_p = slice_layer_params(p["layers"], l)
-        x, k_l, v_l = _layer(
-            layer_p, x, state.k[l], state.v[l], state.end, cos, sin, bias,
-            pos_vec, cfg.num_heads, gelu_approx, pallas_mode)
+        ks = state.k_scale[l] if state.k_scale is not None else None
+        vs = state.v_scale[l] if state.v_scale is not None else None
+        x, k_l, v_l, ks_l, vs_l = _layer(
+            layer_p, x, state.k[l], state.v[l], ks, vs, state.end, cos, sin,
+            bias, pos_vec, cfg.num_heads, gelu_approx, pallas_mode)
         k_new.append(k_l)
         v_new.append(v_l)
-    return state.replace(k=tuple(k_new), v=tuple(v_new), pos=pos_vec), x
+        ks_new.append(ks_l)
+        vs_new.append(vs_l)
+    return state.replace(
+        k=tuple(k_new), v=tuple(v_new), pos=pos_vec,
+        k_scale=tuple(ks_new) if state.k_scale is not None else None,
+        v_scale=tuple(vs_new) if state.v_scale is not None else None), x
 
 
 def shrink_state(state: BackboneState, capacity: int) -> BackboneState:
@@ -157,6 +205,10 @@ def shrink_state(state: BackboneState, capacity: int) -> BackboneState:
         k=tuple(k[..., :capacity, :] for k in state.k),
         v=tuple(v[..., :capacity, :] for v in state.v),
         pos=state.pos[..., :capacity],
+        k_scale=(tuple(s[..., :capacity] for s in state.k_scale)
+                 if state.k_scale is not None else None),
+        v_scale=(tuple(s[..., :capacity] for s in state.v_scale)
+                 if state.v_scale is not None else None),
     )
 
 

@@ -45,8 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _decode_attn_kernel(end_ref, qm_ref, pos_ref, k_ref, v_ref, out_ref,
-                        m_s, l_s, acc_s, *, num_heads, head_dim, nb_total):
+def _decode_attn_kernel(end_ref, qm_ref, pos_ref, *rest, num_heads,
+                        head_dim, nb_total, quant):
     """One (stream, cache-block) grid step of batched flash decode.
 
     Block shapes: qm_ref (1, H, H*D) seg-masked query (built once in XLA —
@@ -60,6 +60,10 @@ def _decode_attn_kernel(end_ref, qm_ref, pos_ref, k_ref, v_ref, out_ref,
     logits): the transposed formulation needed a (1, BS) -> (BS, 1)
     sublane relayout every step, a measurable per-step cost.
     """
+    if quant:
+        ks_ref, vs_ref, k_ref, v_ref, out_ref, m_s, l_s, acc_s = rest
+    else:
+        k_ref, v_ref, out_ref, m_s, l_s, acc_s = rest
     i = pl.program_id(1)
     bs = k_ref.shape[1]
     h, d = num_heads, head_dim
@@ -76,15 +80,25 @@ def _decode_attn_kernel(end_ref, qm_ref, pos_ref, k_ref, v_ref, out_ref,
     def _():
         qm = qm_ref[0]                                 # (H, H*D) bf16
         scale = 1.0 / jnp.sqrt(jnp.float32(d))
-        kb = k_ref[0]                                  # (BS, H*D) bf16
+        kb = k_ref[0]                                  # (BS, H*D) bf16/int8
         vb = v_ref[0]
         posb = pos_ref[0, pl.ds(i, 1), :]              # (1, BS)
         penalty = jnp.where(posb >= 0, 0.0, NEG_INF).astype(jnp.float32)
 
+        if quant:
+            # int8 rows with per-row absmax scales: dequantize by folding
+            # the k scales into the logits and the v scales into p —
+            # the MXU passes stay bf16 x bf16
+            kb = kb.astype(qm.dtype)
+            vb = vb.astype(qm.dtype)
+
         # logits[h, s] = sum_i qm[h, i] * kb[s, i] — native bf16 MXU pass
         logits = jax.lax.dot_general(
             qm, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + penalty  # (H, BS)
+            preferred_element_type=jnp.float32) * scale
+        if quant:
+            logits = logits * ks_ref[0, pl.ds(i, 1), :]        # (1, BS)
+        logits = logits + penalty                              # (H, BS)
 
         m = m_s[...]                                         # (H, 1)
         m_blk = jnp.max(logits, axis=1, keepdims=True)       # (H, 1)
@@ -93,6 +107,8 @@ def _decode_attn_kernel(end_ref, qm_ref, pos_ref, k_ref, v_ref, out_ref,
         p = jnp.exp(logits - m_new)                          # (H, BS)
         l_new = l_s[...] * corr + jnp.sum(p, axis=1, keepdims=True)
 
+        if quant:
+            p = p * vs_ref[0, pl.ds(i, 1), :]                # fold v scales
         # pv[h, i] = sum_s p[h, s] * vb[s, i]: second bf16 MXU pass
         pvh = jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
@@ -117,16 +133,20 @@ def _decode_attn_kernel(end_ref, qm_ref, pos_ref, k_ref, v_ref, out_ref,
 @functools.partial(jax.jit,
                    static_argnames=("block_size", "interpret"))
 def _decode_attention_batched(q, k_cache, v_cache, pos, end,
+                              k_scale=None, v_scale=None,
                               block_size: int = 128,
                               interpret: bool = False):
-    """q: (B, H, D); k/v_cache: (B, S, H*D) flat; pos: (B, S); end: ()
+    """q: (B, H, D); k/v_cache: (B, S, H*D) flat (int8 when k_scale/v_scale
+    (B, S) f32 per-row dequant scales are given); pos: (B, S); end: ()
     shared. Returns (B, H, D)."""
     bsz, h, d = q.shape
     s = k_cache.shape[1]
     assert s % block_size == 0, (s, block_size)
     nb = s // block_size
+    quant = k_scale is not None
     kernel = functools.partial(
-        _decode_attn_kernel, num_heads=h, head_dim=d, nb_total=nb)
+        _decode_attn_kernel, num_heads=h, head_dim=d, nb_total=nb,
+        quant=quant)
 
     # seg-masked query built once here: qm[b, h, i] = q[b, h, i - h*d] for
     # lanes i in head h's segment, 0 elsewhere — (B, H, H*D) bf16
@@ -139,24 +159,34 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
         last = jnp.maximum((end_v[0] + block_size) // block_size - 1, 0)
         return jnp.minimum(i, jnp.minimum(last, nb - 1))
 
+    row_spec = pl.BlockSpec((1, nb, block_size), lambda b, i, e: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, h, h * d), lambda b, i, e: (b, 0, 0),
+                     memory_space=pltpu.VMEM),      # qm
+        row_spec,                                   # pos (whole row)
+    ]
+    operands = [qm, pos.reshape(bsz, nb, block_size)]
+    if quant:
+        in_specs += [row_spec, row_spec]            # k/v dequant scales
+        operands += [k_scale.reshape(bsz, nb, block_size),
+                     v_scale.reshape(bsz, nb, block_size)]
+    in_specs += [
+        pl.BlockSpec((1, block_size, h * d),
+                     lambda b, i, e: (b, live(i, e), 0),
+                     memory_space=pltpu.VMEM),      # k
+        pl.BlockSpec((1, block_size, h * d),
+                     lambda b, i, e: (b, live(i, e), 0),
+                     memory_space=pltpu.VMEM),      # v
+    ]
+    operands += [k_cache, v_cache]
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bsz, nb),
-            in_specs=[
-                pl.BlockSpec((1, h, h * d), lambda b, i, e: (b, 0, 0),
-                             memory_space=pltpu.VMEM),      # qm
-                pl.BlockSpec((1, nb, block_size),
-                             lambda b, i, e: (b, 0, 0),
-                             memory_space=pltpu.VMEM),      # pos (whole row)
-                pl.BlockSpec((1, block_size, h * d),
-                             lambda b, i, e: (b, live(i, e), 0),
-                             memory_space=pltpu.VMEM),      # k
-                pl.BlockSpec((1, block_size, h * d),
-                             lambda b, i, e: (b, live(i, e), 0),
-                             memory_space=pltpu.VMEM),      # v
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, h * d), lambda b, i, e: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -167,8 +197,7 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, 1, h * d), q.dtype),
         interpret=interpret,
-    )(jnp.asarray(end, jnp.int32).reshape(1),
-      qm, pos.reshape(bsz, nb, block_size), k_cache, v_cache)
+    )(jnp.asarray(end, jnp.int32).reshape(1), *operands)
     return out.reshape(bsz, h, d)
 
 
@@ -200,6 +229,35 @@ def _make_decode_attention(block_size: int, interpret: bool):
     return fn
 
 
+@functools.lru_cache(maxsize=None)
+def _make_decode_attention_q(block_size: int, interpret: bool):
+    """int8-KV variant (per-row dequant scales as extra operands)."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(q, k_cache, v_cache, k_scale, v_scale, pos, end):
+        return _decode_attention_batched(
+            q[None], k_cache[None], v_cache[None], pos[None], end,
+            k_scale[None], v_scale[None],
+            block_size=block_size, interpret=interpret)[0]
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, q, k_cache, v_cache, k_scale, v_scale,
+              pos, end):
+        qb, kb, vb, ksb, vsb, pb, eb = in_batched
+        assert not eb, "slot cursor `end` must be batch-uniform"
+
+        def bat(x, isb):
+            return x if isb else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        out = _decode_attention_batched(
+            bat(q, qb), bat(k_cache, kb), bat(v_cache, vb), bat(pos, pb),
+            end, bat(k_scale, ksb), bat(v_scale, vsb),
+            block_size=block_size, interpret=interpret)
+        return out, True
+
+    return fn
+
+
 def _pick_block(s: int) -> int:
     """Largest divisor block <= 384: per-grid-step overhead (~0.3-0.8 us)
     dominates DMA for small blocks, so fewer/bigger blocks win; 384 was the
@@ -211,16 +269,22 @@ def _pick_block(s: int) -> int:
 
 
 def decode_attention(q, k_cache, v_cache, pos, end, block_size: int = None,
-                     interpret: bool = False):
+                     k_scale=None, v_scale=None, interpret: bool = False):
     """q: (H, D) single query; k/v_cache: (S, H, D) or flat (S, H*D);
     pos: (S,) int32 (-1 = invalid); end: () int32 last written slot index
-    (batch-uniform under vmap). Returns (H, D) attention output (same
-    semantics as sdpa(q[None], cache, cache, bias-from-pos)[0])."""
+    (batch-uniform under vmap); k_scale/v_scale: (S,) f32 per-row dequant
+    scales when the cache is int8 (cfg.quantize_kv). Returns (H, D)
+    attention output (same semantics as
+    sdpa(q[None], cache, cache, bias-from-pos)[0])."""
     if k_cache.ndim == 3:
         s = k_cache.shape[0]
         k_cache = k_cache.reshape(s, -1)
         v_cache = v_cache.reshape(s, -1)
     if block_size is None:
         block_size = _pick_block(k_cache.shape[0])
+    if k_scale is not None:
+        return _make_decode_attention_q(block_size, interpret)(
+            q, k_cache, v_cache, k_scale, v_scale, pos,
+            jnp.asarray(end, jnp.int32))
     return _make_decode_attention(block_size, interpret)(
         q, k_cache, v_cache, pos, jnp.asarray(end, jnp.int32))

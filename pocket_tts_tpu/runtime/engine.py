@@ -53,11 +53,17 @@ class TTSEngine:
                  cfg: Optional[ModelConfig] = None,
                  dtype=jnp.float32, seed: int = 0,
                  tokenizer=None, quantize: Optional[str] = None,
+                 quantize_kv: bool = False,
                  allow_mock_tokenizer: bool = False):
         """Load weights (ptts_init analog, src/pocket_tts.cpp:273-322).
 
-        quantize: None or "int8" — per-channel int8 linear weights, the
-        analog of the reference's Q8 GGUF path (src/loader.h:162-173).
+        quantize: None, "int8" or "int4" — per-channel quantized linear
+        weights, the analog of the reference's Q8/Q4 GGUF path
+        (src/loader.h:162-173).
+        quantize_kv: int8 KV cache with per-row absmax scales — halves the
+        decode attention's cache reads (the dominant batched cost once
+        weights are quantized). Serving-throughput mode; slight
+        quantization noise on the audio.
         """
         self.model_path = model_path
         if params is None:
@@ -77,6 +83,10 @@ class TTSEngine:
             from ..io.quant import quantize_params
             params = quantize_params(params, bits=4 if "4" in quantize
                                      else 8)
+        if quantize_kv:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+                cfg.backbone, quantize_kv=True))
         self.params = params
         self.cfg = cfg
         self.dtype = dtype

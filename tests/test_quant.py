@@ -197,3 +197,48 @@ class TestQuantBatched:
                                        np.asarray(pcm1), atol=2e-5)
             np.testing.assert_array_equal(np.asarray(valid_b[i]),
                                           np.asarray(valid1))
+
+
+class TestQuantizedKV:
+    def _decode(self, cfg, frames=12):
+        from pocket_tts_tpu.models import backbone, mimi, tts
+        st = tts.init_stream_state(PARAMS, cfg)
+        _, pcm, valid = tts.jit_decode_sentence(
+            PARAMS, cfg, st, jax.random.PRNGKey(7), jnp.float32(0.0),
+            jnp.int32(2), jnp.int32(frames), frames + 4)
+        return np.asarray(pcm), np.asarray(valid)
+
+    def test_int8_kv_close_to_f32(self):
+        """cfg.quantize_kv int8 cache (XLA dequant path on CPU) tracks the
+        full-precision decode within int8 quantization noise."""
+        import dataclasses
+        cfg_q = dataclasses.replace(
+            CFG, backbone=dataclasses.replace(CFG.backbone,
+                                              quantize_kv=True))
+        pcm0, v0 = self._decode(CFG)
+        pcmq, vq = self._decode(cfg_q)
+        np.testing.assert_array_equal(v0, vq)
+        # per-row absmax int8: relative error ~1/127 compounding through
+        # the stack; require close correlation, not bit equality
+        denom = np.abs(pcm0).max() + 1e-9
+        assert np.abs(pcmq - pcm0).max() / denom < 0.15, \
+            np.abs(pcmq - pcm0).max() / denom
+
+    def test_int8_kv_pallas_interpret_matches_xla(self):
+        """The Mosaic dequant branch == the XLA dequant fallback."""
+        import dataclasses
+        from pocket_tts_tpu.models import backbone
+        cfgq_x = dataclasses.replace(CFG.backbone, quantize_kv=True,
+                                     use_pallas_attn=False)
+        cfgq_p = dataclasses.replace(CFG.backbone, quantize_kv=True,
+                                     use_pallas_attn=True)
+        rng = np.random.RandomState(1)
+        x = rng.randn(10, CFG.backbone.d_model).astype(np.float32) * 0.3
+        s = backbone.init_state(cfgq_x)
+        s, _ = backbone.forward(PARAMS, cfgq_x, s, jnp.array(x))
+        s = backbone.advance(s, 10, 10)
+        step = rng.randn(1, CFG.backbone.d_model).astype(np.float32) * 0.3
+        _, y_x = backbone.forward(PARAMS, cfgq_x, s, jnp.array(step))
+        _, y_p = backbone.forward(PARAMS, cfgq_p, s, jnp.array(step))
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                                   atol=2e-4)
