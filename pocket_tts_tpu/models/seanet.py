@@ -14,6 +14,15 @@ and defaults at models/defaults.h:44-122):
 
 All convs operate TIME-MAJOR on (T, C) for one stream (see ops/conv.py for
 why); each frame of 16 input steps yields exactly 16*120 = 1920 samples.
+
+Stages whose output channels fall below the 128-lane tile run in the
+BLOCKED-TIME representation (T, s*C) end-to-end — for the 64-channel last
+stage the flat (1920, 64) tensors tile-padded half-empty and XLA repaired
+its own time-minor layout choices with ~110 us/frame of reshape+copy at
+batch 32. The k == 2*stride convtr emits the blocked layout natively and
+the resnet/final convs run as lane-block shifts + block-diagonal matmuls
+(ops/conv.py conv1d_blocked), so no flat tensor is ever materialized; the
+only reshape left is the final (T, s) -> (T*s,) pcm flatten.
 """
 from __future__ import annotations
 
@@ -21,25 +30,44 @@ import jax.numpy as jnp
 
 from ..config import SeanetConfig
 from ..ops.basic import elu
-from ..ops.conv import (conv1d, conv1d_init_state,
+from ..ops.conv import (conv1d, conv1d_init_state, conv1d_blocked,
                         conv_transpose1d_init_state, streaming_conv1d,
-                        streaming_conv_transpose1d)
+                        streaming_conv_transpose1d,
+                        streaming_conv_transpose1d_blocked)
+
+
+def _blocked(cfg: SeanetConfig, st) -> bool:
+    """Run a stage blocked when it is the LAST stage (its output feeds only
+    the resnet + final conv, which understand the representation), its
+    output channels underfill a lane tile, and the k=3 convs' left context
+    (2 steps) fits inside one block."""
+    return (st is cfg.stages[-1] and st.out_ch < 128
+            and st.stride > max(cfg.resnet_kernel, cfg.last_kernel) - 1)
 
 
 def init_state(cfg: SeanetConfig, t_in: int, dtype=jnp.float32):
     """Zeroed conv tails / overlap-add carries for a fixed per-frame input
     length t_in (16 for the standard model; ref: models/mimi.h:62)."""
     state = {"model_0": conv1d_init_state(cfg.in_ch, cfg.first_kernel, 1, dtype)}
-    t = t_in  # length tracking through the pipeline
     names = ["model_2", "model_5", "model_8"]
     res_names = ["model_3", "model_6", "model_9"]
     for st, name, rname in zip(cfg.stages, names, res_names):
-        state[name] = conv_transpose1d_init_state(
-            st.out_ch, st.kernel, st.stride, t, dtype)
-        t = t * st.stride
-        state[rname] = conv1d_init_state(st.out_ch, cfg.resnet_kernel, 1, dtype)
-    state["model_11"] = conv1d_init_state(
-        cfg.stages[-1].out_ch, cfg.last_kernel, 1, dtype)
+        if _blocked(cfg, st):
+            # blocked carries: one (1, s*C) row each for the convtr
+            # overlap-add and the resnet/final convs' left context
+            state[name] = jnp.zeros((1, st.stride * st.out_ch), dtype)
+            state[rname] = jnp.zeros((1, st.stride * st.out_ch), dtype)
+        else:
+            state[name] = conv_transpose1d_init_state(
+                st.out_ch, st.kernel, st.stride, t_in, dtype)
+            state[rname] = conv1d_init_state(st.out_ch, cfg.resnet_kernel,
+                                             1, dtype)
+    last = cfg.stages[-1]
+    if _blocked(cfg, last):
+        state["model_11"] = jnp.zeros((1, last.stride * last.out_ch), dtype)
+    else:
+        state["model_11"] = conv1d_init_state(
+            last.out_ch, cfg.last_kernel, 1, dtype)
     return state
 
 
@@ -53,6 +81,15 @@ def _resnet(p, prev, x, kernel: int):
     return prev, x + v
 
 
+def _resnet_blocked(p, prev, xb, s: int):
+    v = elu(xb)
+    prev, v = conv1d_blocked(p["block_1"], v, prev)
+    v = elu(v)
+    # 1x1 conv: a plain block-diagonal matmul, no context needed
+    _, v = conv1d_blocked(p["block_3"], v, v[-1:] * 0)
+    return prev, xb + v
+
+
 def forward(p, cfg: SeanetConfig, state, x):
     """x: (T, in_ch) -> (new_state, pcm (T * total_stride, 1))."""
     new_state = {}
@@ -61,12 +98,27 @@ def forward(p, cfg: SeanetConfig, state, x):
     x = elu(x)
     names = ["model_2", "model_5", "model_8"]
     res_names = ["model_3", "model_6", "model_9"]
+    blocked = False
+    s_blk = 1
     for st, name, rname in zip(cfg.stages, names, res_names):
-        new_state[name], x = streaming_conv_transpose1d(
-            p[name], state[name], x, stride=st.stride)
-        new_state[rname], x = _resnet(p[rname], state[rname], x,
-                                      cfg.resnet_kernel)
+        if _blocked(cfg, st):
+            blocked, s_blk = True, st.stride
+            new_state[name], x = streaming_conv_transpose1d_blocked(
+                p[name], state[name], x, st.stride)
+            new_state[rname], x = _resnet_blocked(p[rname], state[rname], x,
+                                                  st.stride)
+        else:
+            new_state[name], x = streaming_conv_transpose1d(
+                p[name], state[name], x, stride=st.stride)
+            new_state[rname], x = _resnet(p[rname], state[rname], x,
+                                          cfg.resnet_kernel)
         x = elu(x)
+    if blocked:
+        new_state["model_11"], yb = conv1d_blocked(
+            p["model_11"], x, state["model_11"])
+        # (T, s*out_ch) -> (T*s, out_ch): the only flatten in the stage,
+        # on the tiny final pcm tensor
+        return new_state, yb.reshape(-1, cfg.out_ch)
     new_state["model_11"], x = streaming_conv1d(
         p["model_11"], state["model_11"], x, stride=1)
     return new_state, x

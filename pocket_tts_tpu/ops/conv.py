@@ -149,6 +149,85 @@ def conv_transpose1d_init_state(out_ch: int, kernel: int, stride: int,
     return jnp.zeros((kernel - stride, out_ch), dtype=dtype)
 
 
+# ---------------------------------------------------------------------------
+# BLOCKED-TIME ops for narrow-channel stages
+# ---------------------------------------------------------------------------
+# A flat (T*s, C) tensor with C < 128 wastes most of each (8, 128) lane
+# tile, and XLA answers with time-minor layouts + multi-MB relayout copies
+# (~110 us/frame at batch 32 on the 64-channel seanet tail). The blocked
+# representation packs s consecutive timesteps into the lane axis:
+#   xb[t, j*C + c] == x_flat[t*s + j, c],   xb: (T, s*C)
+# The k == 2*stride convtr produces this layout NATURALLY (its matmul
+# against the j-major flattened weight emits (T, k*Cout) columns in
+# exactly (j, o) order), causal convs become lane-block shifts + one
+# matmul against a block-diagonal weight, and elementwise ops don't care.
+
+
+def _blockdiag(wj, s: int):
+    """(Cin, Cout) tap -> (s*Cin, s*Cout) block-diagonal (I_s kron wj)."""
+    return jnp.kron(jnp.eye(s, dtype=wj.dtype), wj)
+
+
+def conv1d_blocked(p, xb, prev_row):
+    """Causal streaming conv over a blocked (T, s*Cin) tensor.
+
+    p: {"w": (Cout, Cin, K), "b"?}; prev_row: (1, s*Cin) last blocked row
+    of the PREVIOUS frame's input (zeros initially) — it supplies the
+    K-1 (< s) timesteps of left context. Returns (new_prev_row,
+    yb (T, s*Cout)).
+    """
+    w = p["w"]
+    cout, cin, k = w.shape
+    t, sc = xb.shape
+    assert sc % cin == 0
+    sblk = sc // cin
+    assert k - 1 < sblk, (k, sblk)
+    top = jnp.concatenate([prev_row, xb[:-1]], axis=0)       # rows t-1
+    y = jnp.zeros((t, sblk * cout), jnp.float32)
+    for d in range(k):                                        # lookback d
+        wj = w[:, :, k - 1 - d].T                             # (Cin, Cout)
+        if d == 0:
+            src = xb
+        else:
+            lanes = d * cin
+            src = jnp.concatenate([top[:, sc - lanes:], xb[:, : sc - lanes]],
+                                  axis=1)
+        y = y + jnp.dot(src, _blockdiag(wj, sblk).astype(xb.dtype),
+                        preferred_element_type=jnp.float32)
+    y = y.astype(xb.dtype)
+    b = p.get("b")
+    if b is not None:
+        y = y + jnp.tile(b, sblk)[None, :]
+    return xb[-1:], y
+
+
+def streaming_conv_transpose1d_blocked(p, prev_row, x, stride: int):
+    """Streaming k == 2*stride transposed conv emitting the BLOCKED layout.
+
+    x: (T, Cin) flat rows; prev_row: (1, s*Cout) previous frame's trailing
+    pre-bias overlap row. Returns (new_prev_row, yb (T, s*Cout)) — the
+    matmul against the j-major flattened weight already emits (j, o)
+    column order, so no reshape ever materializes the flat (T*s, Cout).
+    """
+    w = p["w"]  # (Cin, Cout, K)
+    cin, cout, k = w.shape
+    s = stride
+    assert k == 2 * s, (k, s)
+    w2 = jnp.transpose(w, (0, 2, 1)).reshape(cin, k * cout)
+    u = jnp.dot(x, w2, preferred_element_type=jnp.float32).astype(x.dtype)
+    a = u[:, : s * cout]                      # taps j <  s: rows t
+    bb = u[:, s * cout:]                      # taps j >= s: rows t+1
+    yb = (jnp.pad(a, ((0, 1), (0, 0)))
+          + jnp.pad(bb, ((1, 0), (0, 0))))    # (T+1, s*Cout)
+    yb = yb.at[:1].add(prev_row)
+    new_prev = yb[-1:]
+    b_ = p.get("b")
+    out = yb[:-1]
+    if b_ is not None:
+        out = out + jnp.tile(b_, s)[None, :]
+    return new_prev, out
+
+
 def depthwise_upsample(p, x, kernel: int, stride: int):
     """Depthwise transposed conv for T=1 input — the mimi 16x upsampler
     (groups == channels == 512, k=32, s=16; ref: models/mimi.h:11-17 and the
