@@ -31,10 +31,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _n_tile(n: int, prefer=(512, 256, 128)) -> int:
-    """Output-tile width; measured optima on v5e: int4 512, int8 256."""
-    for t in prefer:
-        if n % t == 0:
+def _n_tile(n: int, k: int, bits: int) -> int:
+    """Output-tile width: as large as VMEM allows — per-grid-step overhead
+    (~0.3-0.8 us) dominates below ~1 MB blocks, and a serving frame issues
+    ~50 kernel calls. Budget: weight block + the int4 unpack's two f32
+    (K/2, nt) intermediates must stay well under the 16 MB scoped limit."""
+    for t in (4096, 3072, 2048, 1024, 512, 256, 128):
+        if n % t:
+            continue
+        if bits == 4:
+            vmem = k // 2 * t + 2 * (k // 2) * t * 4 + k * t * 4
+        else:
+            vmem = k * t + k * t * 4
+        if vmem <= 10 * 1024 * 1024:
             return t
     return n
 
@@ -91,7 +100,7 @@ def int8_matmul_pallas(x, q, scale, layer=None, interpret: bool = False):
     weights, read in place; None for plain 2-D weights."""
     t, k = x.shape
     n = q.shape[-1]
-    nt = _n_tile(n)
+    nt = _n_tile(n, k, 8)
     mt = _m_tile(t)
     wspec, sspec, q, scale = _w_specs(q, scale, layer, nt)
     return pl.pallas_call(
@@ -166,7 +175,7 @@ def int4_matmul_pallas(x, q4, scale, layer=None, interpret: bool = False):
     t, k = x.shape
     kh, n = q4.shape[-2:]
     assert kh * 2 == k, (q4.shape, x.shape)
-    nt = _n_tile(n)
+    nt = _n_tile(n, k, 4)
     mt = _m_tile(t)
     wspec, sspec, q4, scale = _w_specs(q4, scale, layer, nt)
     return pl.pallas_call(
