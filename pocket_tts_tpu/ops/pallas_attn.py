@@ -46,15 +46,19 @@ NEG_INF = -1e9
 
 
 def _decode_attn_kernel(end_ref, qm_ref, pos_ref, *rest, num_heads,
-                        head_dim, nb_total, quant):
-    """One (stream, cache-block) grid step of batched flash decode.
+                        head_dim, nb_total, quant, group):
+    """One (stream-group, cache-block) grid step of batched flash decode.
 
-    Block shapes: qm_ref (1, H, H*D) seg-masked query (built once in XLA —
-    rebuilding it per grid step cost real VPU time); pos_ref (1, NB, BS)
-    (the whole stream's positions — 1.5 KB); k_ref/v_ref (1, BS, H*D);
-    out_ref (1, 1, H*D). Scratch (persists across grid steps): m_s/l_s
-    (H, 1) f32 running max / normalizer, acc_s (H, H*D) f32 unnormalized
-    per-head output.
+    Each step processes `group` consecutive streams — the fixed per-step
+    cost (~0.3-0.8 us of sequencing) dominated single-stream steps once
+    the int8 cache halved the DMA time.
+
+    Block shapes: qm_ref (G, H, H*D) seg-masked queries (built once in
+    XLA — rebuilding them per grid step cost real VPU time); pos_ref
+    (G, NB, BS) (whole stream rows — 1.5 KB each); k_ref/v_ref
+    (G, BS, H*D); out_ref (G, 1, H*D). Scratch (persists across grid
+    steps): m_s/l_s (G*H, 1) f32 running max / normalizer, acc_s
+    (G*H, H*D) f32 unnormalized per-head output.
 
     Everything is oriented so the per-slot mask adds LANE-wise ((H, BS)
     logits): the transposed formulation needed a (1, BS) -> (BS, 1)
@@ -78,44 +82,46 @@ def _decode_attn_kernel(end_ref, qm_ref, pos_ref, *rest, num_heads,
 
     @pl.when(i < nb)
     def _():
-        qm = qm_ref[0]                                 # (H, H*D) bf16
         scale = 1.0 / jnp.sqrt(jnp.float32(d))
-        kb = k_ref[0]                                  # (BS, H*D) bf16/int8
-        vb = v_ref[0]
-        posb = pos_ref[0, pl.ds(i, 1), :]              # (1, BS)
-        penalty = jnp.where(posb >= 0, 0.0, NEG_INF).astype(jnp.float32)
+        for g in range(group):
+            lo, hi = g * h, (g + 1) * h
+            qm = qm_ref[g]                             # (H, H*D) bf16
+            kb = k_ref[g]                              # (BS, H*D) bf16/int8
+            vb = v_ref[g]
+            posb = pos_ref[g, pl.ds(i, 1), :]          # (1, BS)
+            penalty = jnp.where(posb >= 0, 0.0, NEG_INF).astype(jnp.float32)
 
-        if quant:
-            # int8 rows with per-row absmax scales: dequantize by folding
-            # the k scales into the logits and the v scales into p —
-            # the MXU passes stay bf16 x bf16
-            kb = kb.astype(qm.dtype)
-            vb = vb.astype(qm.dtype)
+            if quant:
+                # int8 rows with per-row absmax scales: dequantize by
+                # folding the k scales into the logits and the v scales
+                # into p — the MXU passes stay bf16 x bf16
+                kb = kb.astype(qm.dtype)
+                vb = vb.astype(qm.dtype)
 
-        # logits[h, s] = sum_i qm[h, i] * kb[s, i] — native bf16 MXU pass
-        logits = jax.lax.dot_general(
-            qm, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if quant:
-            logits = logits * ks_ref[0, pl.ds(i, 1), :]        # (1, BS)
-        logits = logits + penalty                              # (H, BS)
+            # logits[h, s] = sum_i qm[h, i] * kb[s, i] — bf16 MXU pass
+            logits = jax.lax.dot_general(
+                qm, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if quant:
+                logits = logits * ks_ref[g, pl.ds(i, 1), :]    # (1, BS)
+            logits = logits + penalty                          # (H, BS)
 
-        m = m_s[...]                                         # (H, 1)
-        m_blk = jnp.max(logits, axis=1, keepdims=True)       # (H, 1)
-        m_new = jnp.maximum(m, m_blk)
-        corr = jnp.exp(m - m_new)                            # (H, 1)
-        p = jnp.exp(logits - m_new)                          # (H, BS)
-        l_new = l_s[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+            m = m_s[lo:hi]                                   # (H, 1)
+            m_blk = jnp.max(logits, axis=1, keepdims=True)   # (H, 1)
+            m_new = jnp.maximum(m, m_blk)
+            corr = jnp.exp(m - m_new)                        # (H, 1)
+            p = jnp.exp(logits - m_new)                      # (H, BS)
+            l_new = l_s[lo:hi] * corr + jnp.sum(p, axis=1, keepdims=True)
 
-        if quant:
-            p = p * vs_ref[0, pl.ds(i, 1), :]                # fold v scales
-        # pv[h, i] = sum_s p[h, s] * vb[s, i]: second bf16 MXU pass
-        pvh = jax.lax.dot_general(
-            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (H, H*D)
-        m_s[...] = m_new
-        l_s[...] = l_new
-        acc_s[...] = acc_s[...] * corr + pvh
+            if quant:
+                p = p * vs_ref[g, pl.ds(i, 1), :]            # fold v scales
+            # pv[h, i] = sum_s p[h, s] * vb[s, i]: second bf16 MXU pass
+            pvh = jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (H, H*D)
+            m_s[lo:hi] = m_new
+            l_s[lo:hi] = l_new
+            acc_s[lo:hi] = acc_s[lo:hi] * corr + pvh
 
     @pl.when(i == nb_total - 1)
     def _():
@@ -125,9 +131,11 @@ def _decode_attn_kernel(end_ref, qm_ref, pos_ref, *rest, num_heads,
         lane = jax.lax.broadcasted_iota(jnp.int32, (h, h * d), 1)
         head = jax.lax.broadcasted_iota(jnp.int32, (h, h * d), 0)
         seg = (lane // d == head).astype(jnp.float32)        # (H, H*D)
-        norm = acc_s[...] / jnp.maximum(l_s[...], 1e-30)
-        out_ref[0] = jnp.sum(norm * seg, axis=0,
-                             keepdims=True).astype(out_ref.dtype)
+        for g in range(group):
+            lo, hi = g * h, (g + 1) * h
+            norm = acc_s[lo:hi] / jnp.maximum(l_s[lo:hi], 1e-30)
+            out_ref[g] = jnp.sum(norm * seg, axis=0,
+                                 keepdims=True).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -144,9 +152,17 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
     assert s % block_size == 0, (s, block_size)
     nb = s // block_size
     quant = k_scale is not None
+    # streams per grid step: amortize the fixed per-step cost; bounded by
+    # VMEM (double-buffered k+v blocks) — int8 halves the block bytes
+    bytes_per_stream = 2 * 2 * block_size * h * d * (1 if quant else 2)
+    group = 1
+    for cand in (4, 2):
+        if bsz % cand == 0 and cand * bytes_per_stream <= 8 * 1024 * 1024:
+            group = cand
+            break
     kernel = functools.partial(
         _decode_attn_kernel, num_heads=h, head_dim=d, nb_total=nb,
-        quant=quant)
+        quant=quant, group=group)
 
     # seg-masked query built once here: qm[b, h, i] = q[b, h, i - h*d] for
     # lanes i in head h's segment, 0 elsewhere — (B, H, H*D) bf16
@@ -159,12 +175,13 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
         last = jnp.maximum((end_v[0] + block_size) // block_size - 1, 0)
         return jnp.minimum(i, jnp.minimum(last, nb - 1))
 
-    row_spec = pl.BlockSpec((1, nb, block_size), lambda b, i, e: (b, 0, 0),
+    row_spec = pl.BlockSpec((group, nb, block_size),
+                            lambda b, i, e: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, h, h * d), lambda b, i, e: (b, 0, 0),
+        pl.BlockSpec((group, h, h * d), lambda b, i, e: (b, 0, 0),
                      memory_space=pltpu.VMEM),      # qm
-        row_spec,                                   # pos (whole row)
+        row_spec,                                   # pos (whole rows)
     ]
     operands = [qm, pos.reshape(bsz, nb, block_size)]
     if quant:
@@ -172,10 +189,10 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
         operands += [k_scale.reshape(bsz, nb, block_size),
                      v_scale.reshape(bsz, nb, block_size)]
     in_specs += [
-        pl.BlockSpec((1, block_size, h * d),
+        pl.BlockSpec((group, block_size, h * d),
                      lambda b, i, e: (b, live(i, e), 0),
                      memory_space=pltpu.VMEM),      # k
-        pl.BlockSpec((1, block_size, h * d),
+        pl.BlockSpec((group, block_size, h * d),
                      lambda b, i, e: (b, live(i, e), 0),
                      memory_space=pltpu.VMEM),      # v
     ]
@@ -185,14 +202,15 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(bsz, nb),
+            grid=(bsz // group, nb),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, h * d), lambda b, i, e: (b, 0, 0),
+            out_specs=pl.BlockSpec((group, 1, h * d),
+                                   lambda b, i, e: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((h, 1), jnp.float32),
-                pltpu.VMEM((h, 1), jnp.float32),
-                pltpu.VMEM((h, h * d), jnp.float32),
+                pltpu.VMEM((group * h, 1), jnp.float32),
+                pltpu.VMEM((group * h, 1), jnp.float32),
+                pltpu.VMEM((group * h, h * d), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, 1, h * d), q.dtype),
