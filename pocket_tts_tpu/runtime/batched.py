@@ -181,6 +181,12 @@ def admit_stream(batch: tts.StreamState, lane,
                 for bv, fv in zip(bf.v, ff.v)),
         pos=bf.pos.at[lane].set(ff.pos),
         next_pos=bf.next_pos.at[lane].set(ff.next_pos))
+    if bf.k_scale is not None:  # int8 KV: the lane's dequant scales too
+        flow = flow.replace(
+            k_scale=tuple(bs.at[lane].set(fs)
+                          for bs, fs in zip(bf.k_scale, ff.k_scale)),
+            v_scale=tuple(bs.at[lane].set(fs)
+                          for bs, fs in zip(bf.v_scale, ff.v_scale)))
     # zero the lane's mimi caches/conv tails; ring offset stays shared
     maxes = _axes_like(batch.mimi)
     mimi_st = jax.tree.map(

@@ -135,3 +135,44 @@ class TestContinuousBatching:
         with pytest.raises(ValueError, match="capacity"):
             srv.submit(" ".join(["w%d" % i for i in range(20)]), "va")
             srv.run_pending()
+
+
+def test_admit_stream_quantized_kv():
+    """Continuous admission under the int8 KV cache: the admitted lane's
+    audio must equal its solo decode (scales copied with the cache)."""
+    import dataclasses
+    from pocket_tts_tpu.models import backbone, mimi, tts
+    from pocket_tts_tpu.runtime.batched import (admit_stream,
+                                                continuous_decode_chunk,
+                                                empty_batch_state)
+    cfg_q = dataclasses.replace(CFG, backbone=dataclasses.replace(
+        CFG.backbone, quantize_kv=True))
+    b = 2
+    prefix = 32
+    batch = empty_batch_state(PARAMS, cfg_q, b, 96, prefix)
+    tok = jnp.asarray(np.arange(4, dtype=np.int32) + 7)
+    tokens = jnp.zeros((16,), jnp.int32).at[:4].set(tok)
+    mt = mimi.init_state(cfg_q.mimi)
+    fresh = tts.sentence_prefill(PARAMS, cfg_q,
+                                 backbone.shrink_state(
+                                     backbone.init_state(cfg_q.backbone), 96),
+                                 mt, tokens, jnp.int32(4))
+    # align the fresh stream's slot cursor with the shared prefix budget
+    fresh = fresh.replace(flow=fresh.flow.replace(end=jnp.int32(prefix)))
+    batch = batch.replace(flow=batch.flow.replace(end=jnp.int32(prefix)))
+    batch = admit_stream(batch, 0, fresh)
+    rngs = jnp.stack([jax.random.PRNGKey(3)] * b)
+    batch, pcm, valid = continuous_decode_chunk(
+        PARAMS, cfg_q, 8, batch, rngs, jnp.zeros((b,), jnp.float32),
+        jnp.full((b,), 2, jnp.int32), jnp.full((b,), 20, jnp.int32))
+    # solo reference
+    st = fresh
+    pcs = []
+    for i in range(8):
+        st, p1, v1 = tts.frame_step(PARAMS, cfg_q, st,
+                                    jax.random.fold_in(jax.random.PRNGKey(3),
+                                                       st.step),
+                                    jnp.float32(0.0), jnp.int32(2),
+                                    jnp.int32(20))
+        pcs.append(np.asarray(p1))
+    np.testing.assert_allclose(np.asarray(pcm[0]), np.stack(pcs), atol=2e-5)

@@ -55,6 +55,21 @@ class TestDecodeAttention:
                                 interpret=True)
         np.testing.assert_array_equal(np.asarray(got1), np.asarray(got2))
 
+    @pytest.mark.parametrize("b", [4, 8])
+    def test_stream_groups(self, b):
+        """Batch sizes divisible by the stream group exercise the
+        multi-stream-per-grid-step kernel path."""
+        cases = [make_case(90, seed=10 + i) for i in range(b)]
+        got = jax.vmap(
+            lambda q, k, v, p: decode_attention(q, k, v, p, jnp.int32(90),
+                                                block_size=BS,
+                                                interpret=True)
+        )(*[jnp.stack([c[j] for c in cases]) for j in range(4)])
+        for i in range(b):
+            want = reference(*cases[i])
+            np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                       atol=1e-5, err_msg=f"stream {i}")
+
     def test_vmap_batched(self):
         b = 3
         cases = [make_case(90, seed=i) for i in range(b)]
