@@ -132,9 +132,17 @@ def main(argv=None):
 
     if args.load_cache:
         from .io.quant import load_params_cache
+        # a cache may already hold quantized weights; --quantize re-quantizes
+        # only if the tree still has full-precision "w" leaves
         engine = TTSEngine(params=load_params_cache(args.load_cache),
-                           cfg=base_cfg, seed=seed)
-        voice = args.voice
+                           cfg=base_cfg, seed=seed,
+                           quantize=args.quantize,
+                           quantize_kv=args.quantize_kv)
+        if args.random_weights:  # no model dir: use a synthetic voice
+            from .io.params import random_voice_prompt
+            voice = random_voice_prompt(engine.cfg)
+        else:
+            voice = args.voice
     elif args.random_weights or not os.path.exists(
             os.path.join(model_path, "tts_b6369a24.safetensors")):
         if not args.random_weights:

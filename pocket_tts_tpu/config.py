@@ -170,6 +170,9 @@ def reference_exact_config(base: "ModelConfig" = None) -> "ModelConfig":
     - mimi ring capacity == context == 250 (defaults.h:5-7) — the insert
       becomes a row scatter (slow path) but slot eviction order matches the
       reference exactly.
+    - XLA decode attention (use_pallas_attn=False): the Mosaic kernel
+      hard-codes the -1e9 mask and accumulates bf16 kernel numerics, which
+      would silently override the -1e5 setting on TPU.
 
     Engine-level dtype (f32 vs bf16) stays a TTSEngine(dtype=...) choice.
     """
@@ -177,7 +180,8 @@ def reference_exact_config(base: "ModelConfig" = None) -> "ModelConfig":
     return dataclasses.replace(
         base,
         gelu_approx=True,
-        backbone=dataclasses.replace(base.backbone, mask_value=-1e5),
+        backbone=dataclasses.replace(base.backbone, mask_value=-1e5,
+                                     use_pallas_attn=False),
         mimi=dataclasses.replace(
             base.mimi,
             transformer=dataclasses.replace(

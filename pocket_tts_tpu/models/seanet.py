@@ -36,12 +36,13 @@ from ..ops.conv import (conv1d, conv1d_init_state, conv1d_blocked,
                         streaming_conv_transpose1d_blocked)
 
 
-def _blocked(cfg: SeanetConfig, st) -> bool:
+def _blocked(cfg: SeanetConfig, idx: int) -> bool:
     """Run a stage blocked when it is the LAST stage (its output feeds only
     the resnet + final conv, which understand the representation), its
     output channels underfill a lane tile, and the k=3 convs' left context
     (2 steps) fits inside one block."""
-    return (st is cfg.stages[-1] and st.out_ch < 128
+    st = cfg.stages[idx]
+    return (idx == len(cfg.stages) - 1 and st.out_ch < 128
             and st.stride > max(cfg.resnet_kernel, cfg.last_kernel) - 1)
 
 
@@ -51,8 +52,9 @@ def init_state(cfg: SeanetConfig, t_in: int, dtype=jnp.float32):
     state = {"model_0": conv1d_init_state(cfg.in_ch, cfg.first_kernel, 1, dtype)}
     names = ["model_2", "model_5", "model_8"]
     res_names = ["model_3", "model_6", "model_9"]
-    for st, name, rname in zip(cfg.stages, names, res_names):
-        if _blocked(cfg, st):
+    for si, (st, name, rname) in enumerate(zip(cfg.stages, names,
+                                               res_names)):
+        if _blocked(cfg, si):
             # blocked carries: one (1, s*C) row each for the convtr
             # overlap-add and the resnet/final convs' left context
             state[name] = jnp.zeros((1, st.stride * st.out_ch), dtype)
@@ -63,7 +65,7 @@ def init_state(cfg: SeanetConfig, t_in: int, dtype=jnp.float32):
             state[rname] = conv1d_init_state(st.out_ch, cfg.resnet_kernel,
                                              1, dtype)
     last = cfg.stages[-1]
-    if _blocked(cfg, last):
+    if _blocked(cfg, len(cfg.stages) - 1):
         state["model_11"] = jnp.zeros((1, last.stride * last.out_ch), dtype)
     else:
         state["model_11"] = conv1d_init_state(
@@ -100,8 +102,9 @@ def forward(p, cfg: SeanetConfig, state, x):
     res_names = ["model_3", "model_6", "model_9"]
     blocked = False
     s_blk = 1
-    for st, name, rname in zip(cfg.stages, names, res_names):
-        if _blocked(cfg, st):
+    for si, (st, name, rname) in enumerate(zip(cfg.stages, names,
+                                               res_names)):
+        if _blocked(cfg, si):
             blocked, s_blk = True, st.stride
             new_state[name], x = streaming_conv_transpose1d_blocked(
                 p[name], state[name], x, st.stride)

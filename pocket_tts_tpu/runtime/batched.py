@@ -233,13 +233,14 @@ class BatchedEngine:
     def __init__(self, engine: TTSEngine, mesh=None):
         self.engine = engine
         self.mesh = mesh
-        if mesh is not None:
-            # GSPMD has no partitioning rule for the Mosaic decode-attention
-            # custom call; pin the XLA attention path for sharded serving
-            import dataclasses
-            engine.cfg = dataclasses.replace(
-                engine.cfg, backbone=dataclasses.replace(
-                    engine.cfg.backbone, use_pallas_attn=False))
+        # GSPMD has no partitioning rule for the Mosaic decode-attention
+        # custom call; pin the XLA attention path for sharded serving.
+        # Kept LOCAL (self.cfg) — mutating engine.cfg would silently strip
+        # the Pallas path from the caller's solo engine too.
+        import dataclasses
+        self.cfg = engine.cfg if mesh is None else dataclasses.replace(
+            engine.cfg, backbone=dataclasses.replace(
+                engine.cfg.backbone, use_pallas_attn=False))
 
     def prime_voices(self, prompts: Sequence[np.ndarray]):
         """prompts: list of (Tp_i, d_model) arrays -> stacked voice states.
@@ -250,10 +251,10 @@ class BatchedEngine:
             np.pad(np.asarray(p, np.float32), ((0, tp - p.shape[0]), (0, 0)))
             for p in prompts])
         n_valid = jnp.asarray([p.shape[0] for p in prompts], jnp.int32)
-        states = stack_states([backbone.init_state(eng.cfg.backbone,
+        states = stack_states([backbone.init_state(self.cfg.backbone,
                                                    eng.dtype)
                                for _ in prompts])
-        return batched_prime_voice(eng.params, eng.cfg, states,
+        return batched_prime_voice(eng.params, self.cfg, states,
                                    jnp.asarray(padded, eng.dtype), n_valid)
 
     def synthesize_batch(self, texts: List[str], voice_states,
@@ -272,10 +273,10 @@ class BatchedEngine:
              for t, _ in prepared], np.int32)
         cap = eng._sentence_capacity(tp, int(max_steps.max()),
                                      prompt_slots=int(voice_states.end))
-        if cap < eng.cfg.backbone.kv_capacity:
+        if cap < self.cfg.backbone.kv_capacity:
             voice_states = backbone.shrink_state(voice_states, cap)
         states = batched_sentence_prefill(
-            eng.params, eng.cfg, voice_states, eng._mimi_template, tokens,
+            eng.params, self.cfg, voice_states, eng._mimi_template, tokens,
             n_valid)
         if self.mesh is not None:
             from ..parallel.sharding import shard_batched_state
@@ -284,7 +285,7 @@ class BatchedEngine:
         scan_len = -(-int(max_steps.max()) // _SCAN_BUCKET) * _SCAN_BUCKET
         rngs = jnp.stack([eng._next_rng() for _ in range(b)])
         _, pcm, valid = batched_decode_sentence(
-            eng.params, eng.cfg, states, rngs,
+            eng.params, self.cfg, states, rngs,
             jnp.full((b,), temp, eng.dtype), fae,
             jnp.asarray(max_steps), scan_len)
         pcm = np.asarray(pcm)

@@ -70,6 +70,37 @@ class TestDecodeAttention:
             np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
                                        atol=1e-5, err_msg=f"stream {i}")
 
+    @pytest.mark.parametrize("b", [1, 4])
+    def test_int8_kv_grouped(self, b):
+        """int8-cache branch of the kernel, including the multi-stream
+        group path (b=4): dequant by per-row scales == attending the
+        dequantized cache."""
+        rng = np.random.RandomState(33)
+        cases = []
+        for i in range(b):
+            q, k, v, pos = make_case(90, seed=20 + i)
+            kf = np.asarray(k.reshape(S, H * D))
+            vf = np.asarray(v.reshape(S, H * D))
+            ks = np.maximum(np.abs(kf).max(-1) / 127.0, 1e-12)
+            vs = np.maximum(np.abs(vf).max(-1) / 127.0, 1e-12)
+            kq = np.clip(np.round(kf / ks[:, None]), -127, 127).astype(np.int8)
+            vq = np.clip(np.round(vf / vs[:, None]), -127, 127).astype(np.int8)
+            cases.append((q, kq, vq, ks.astype(np.float32),
+                          vs.astype(np.float32), pos))
+        stacked = [jnp.stack([jnp.asarray(c[j]) for c in cases])
+                   for j in range(6)]
+        got = jax.vmap(
+            lambda q, kq, vq, ks, vs, p: decode_attention(
+                q, kq, vq, p, jnp.int32(90), block_size=BS,
+                k_scale=ks, v_scale=vs, interpret=True)
+        )(*stacked)
+        for i, (q, kq, vq, ks, vs, pos) in enumerate(cases):
+            k_deq = (kq.astype(np.float32) * ks[:, None]).reshape(S, H, D)
+            v_deq = (vq.astype(np.float32) * vs[:, None]).reshape(S, H, D)
+            want = reference(q, jnp.asarray(k_deq), jnp.asarray(v_deq), pos)
+            np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                       atol=1e-4, err_msg=f"stream {i}")
+
     def test_vmap_batched(self):
         b = 3
         cases = [make_case(90, seed=i) for i in range(b)]
