@@ -85,6 +85,10 @@ class MimiTransformerConfig:
     # reference's ring had already overwritten — i.e. closer to the true
     # 250-step sliding window.
     capacity: int = 256
+    # fused Pallas ring-insert+attention kernel (ops/pallas_mimi.py):
+    # None = auto (TPU backends only); requires capacity % 16 == 0 and the
+    # default -1e9 mask — reference-exact mode falls back to XLA
+    use_pallas_attn: bool = None
     max_period: int = 10000
     # eps=0 LayerNorm (defaults.h:14,32)
     norm_eps: float = 0.0
@@ -186,6 +190,7 @@ def reference_exact_config(base: "ModelConfig" = None) -> "ModelConfig":
             base.mimi,
             transformer=dataclasses.replace(
                 base.mimi.transformer, mask_value=-1e5,
+                use_pallas_attn=False,
                 capacity=base.mimi.transformer.context)),
     )
 

@@ -50,8 +50,8 @@ def init_state(cfg: MimiTransformerConfig, dtype=jnp.float32):
     )
 
 
-def _layer(p, x, k_cache, v_cache, offset, cos, sin, bias, cfg,
-           gelu_approx: bool):
+def _layer(p, x, k_cache, v_cache, offset, start, cos, sin, bias, cfg,
+           gelu_approx: bool, pallas_mode: str):
     t, dm = x.shape
     h = layer_norm(p["norm1"], x, eps=cfg.norm_eps)
     qkv = linear(p["in_proj"], h)
@@ -61,10 +61,23 @@ def _layer(p, x, k_cache, v_cache, offset, cos, sin, bias, cfg,
     v = v.reshape(t, cfg.num_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    k_cache = cache_insert_ring(k_cache, k.reshape(t, dm), offset)
-    v_cache = cache_insert_ring(v_cache, v.reshape(t, dm), offset)
-    attn = sdpa_seg(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
-                    bias)
+    if pallas_mode != "off":
+        # fused ring insert + attention: one kernel writes the 16 new rows
+        # (a 16-row DMA satisfies the bf16 tiling), computes the ring bias
+        # from iota arithmetic, and attends old cache + new block in a
+        # single flash merge (ops/pallas_mimi.py)
+        from ..ops.pallas_mimi import ring_insert_attention
+        attn_flat, k_cache, v_cache = ring_insert_attention(
+            q.reshape(t, dm), k.reshape(t, dm), v.reshape(t, dm),
+            k_cache, v_cache, offset, start,
+            num_heads=cfg.num_heads, context=cfg.context,
+            interpret=(pallas_mode == "interpret"))
+        attn = attn_flat
+    else:
+        k_cache = cache_insert_ring(k_cache, k.reshape(t, dm), offset)
+        v_cache = cache_insert_ring(v_cache, v.reshape(t, dm), offset)
+        attn = sdpa_seg(q, k_cache.astype(q.dtype),
+                        v_cache.astype(q.dtype), bias)
     x = x + p["layer_scale_1"]["scale"] * linear(
         p["out_proj"], attn.reshape(t, dm))
     h = layer_norm(p["norm2"], x, eps=cfg.norm_eps)
@@ -81,15 +94,28 @@ def forward(p, cfg: MimiTransformerConfig, state: MimiTransformerState, x,
     # positions are stream-relative (offset == start for solo streams' 0)
     positions = state.offset - state.start + jnp.arange(t, dtype=jnp.int32)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.max_period)
-    bias = ring_cache_bias(t, cfg.capacity, state.offset, cfg.context,
-                           neg=cfg.mask_value, start=state.start)
+    use_pallas = cfg.use_pallas_attn
+    if use_pallas is None:  # auto: Mosaic kernel on TPU, XLA elsewhere
+        use_pallas = jax.default_backend() == "tpu"
+    # the kernel hard-codes the -1e9 mask and needs a T-aligned ring
+    use_pallas = (use_pallas and cfg.capacity % t == 0
+                  and cfg.mask_value == -1e9)
+    if use_pallas:
+        pallas_mode = ("interpret" if jax.default_backend() == "cpu"
+                       else "tpu")
+        bias = None
+    else:
+        pallas_mode = "off"
+        bias = ring_cache_bias(t, cfg.capacity, state.offset, cfg.context,
+                               neg=cfg.mask_value, start=state.start)
 
     from ..ops.basic import slice_layer_params
     k_new, v_new = [], []
     for l in range(cfg.num_layers):
         layer_p = slice_layer_params(p["layers"], l)
         x, k_l, v_l = _layer(layer_p, x, state.k[l], state.v[l],
-                             state.offset, cos, sin, bias, cfg, gelu_approx)
+                             state.offset, state.start, cos, sin, bias,
+                             cfg, gelu_approx, pallas_mode)
         k_new.append(k_l)
         v_new.append(v_l)
     return state.replace(k=tuple(k_new), v=tuple(v_new),

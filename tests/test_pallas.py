@@ -143,3 +143,71 @@ class TestDecodeAttention:
         _, y_pal = backbone.forward(params, cfgp, s2, jnp.array(step))
         np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
                                    atol=1e-4)
+
+
+class TestMimiRingKernel:
+    """Fused ring insert+attention (ops/pallas_mimi.py) vs the XLA path."""
+
+    def _xla_step(self, q, k, v, kc, vc, offset, start, ctx):
+        from pocket_tts_tpu.ops.attention import (cache_insert_ring,
+                                                  ring_cache_bias, sdpa_seg)
+        t, h, d = q.shape
+        kc2 = cache_insert_ring(kc, k.reshape(t, h * d), offset)
+        vc2 = cache_insert_ring(vc, v.reshape(t, h * d), offset)
+        bias = ring_cache_bias(t, kc.shape[0], offset, ctx, start=start)
+        return sdpa_seg(q, kc2, vc2, bias), kc2, vc2
+
+    @pytest.mark.parametrize("frames", [1, 5, 9])
+    def test_matches_xla_over_frames(self, frames):
+        from pocket_tts_tpu.ops.pallas_mimi import ring_insert_attention
+        t, h, d, cap, ctx = 16, 2, 16, 48, 40
+        hd = h * d
+        rng = np.random.RandomState(11)
+        kc_x = jnp.zeros((cap, hd))
+        vc_x = jnp.zeros((cap, hd))
+        kc_p = jnp.zeros((cap, hd))
+        vc_p = jnp.zeros((cap, hd))
+        for f in range(frames):
+            off = jnp.int32(f * t)
+            q = jnp.asarray(rng.randn(t, h, d).astype(np.float32))
+            k = jnp.asarray(rng.randn(t, h, d).astype(np.float32))
+            v = jnp.asarray(rng.randn(t, h, d).astype(np.float32))
+            want, kc_x, vc_x = self._xla_step(q, k, v, kc_x, vc_x, off,
+                                              0, ctx)
+            got, kc_p, vc_p = ring_insert_attention(
+                q.reshape(t, hd), k.reshape(t, hd), v.reshape(t, hd),
+                kc_p, vc_p, off, jnp.int32(0), num_heads=h, context=ctx,
+                interpret=True)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(want.reshape(t, hd)),
+                                       atol=1e-5, err_msg=f"frame {f}")
+            np.testing.assert_allclose(np.asarray(kc_p), np.asarray(kc_x),
+                                       atol=1e-6)
+
+    @pytest.mark.parametrize("b", [3, 4])
+    def test_vmap_with_starts(self, b):
+        """Batched (incl. the group path at b=4) with per-stream starts —
+        the continuous-batching fence."""
+        from pocket_tts_tpu.ops.pallas_mimi import ring_insert_attention
+        t, h, d, cap, ctx = 8, 2, 16, 48, 40
+        hd = h * d
+        rng = np.random.RandomState(7)
+        off = jnp.int32(24)
+        starts = jnp.asarray([0, 8, 16, 8][:b], jnp.int32)
+        q = jnp.asarray(rng.randn(b, t, h, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, t, h, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, t, h, d).astype(np.float32))
+        kc = jnp.asarray(rng.randn(b, cap, hd).astype(np.float32))
+        vc = jnp.asarray(rng.randn(b, cap, hd).astype(np.float32))
+        got = jax.vmap(
+            lambda q1, k1, v1, kc1, vc1, s1: ring_insert_attention(
+                q1.reshape(t, hd), k1.reshape(t, hd), v1.reshape(t, hd),
+                kc1, vc1, off, s1, num_heads=h, context=ctx,
+                interpret=True)[0]
+        )(q, k, v, kc, vc, starts)
+        for i in range(b):
+            want, _, _ = self._xla_step(q[i], k[i], v[i], kc[i], vc[i],
+                                        off, int(starts[i]), ctx)
+            np.testing.assert_allclose(np.asarray(got[i]),
+                                       np.asarray(want.reshape(t, hd)),
+                                       atol=1e-5, err_msg=f"stream {i}")
