@@ -233,14 +233,18 @@ class BatchedEngine:
     def __init__(self, engine: TTSEngine, mesh=None):
         self.engine = engine
         self.mesh = mesh
-        # GSPMD has no partitioning rule for the Mosaic decode-attention
-        # custom call; pin the XLA attention path for sharded serving.
-        # Kept LOCAL (self.cfg) — mutating engine.cfg would silently strip
-        # the Pallas path from the caller's solo engine too.
+        # GSPMD has no partitioning rule for the Mosaic attention custom
+        # calls (backbone flash-decode AND the fused mimi ring kernel);
+        # pin the XLA paths for sharded serving. Kept LOCAL (self.cfg) —
+        # mutating engine.cfg would silently strip the Pallas paths from
+        # the caller's solo engine too.
         import dataclasses
-        self.cfg = engine.cfg if mesh is None else dataclasses.replace(
-            engine.cfg, backbone=dataclasses.replace(
-                engine.cfg.backbone, use_pallas_attn=False))
+        c = engine.cfg
+        self.cfg = c if mesh is None else dataclasses.replace(
+            c,
+            backbone=dataclasses.replace(c.backbone, use_pallas_attn=False),
+            mimi=dataclasses.replace(c.mimi, transformer=dataclasses.replace(
+                c.mimi.transformer, use_pallas_attn=False)))
 
     def prime_voices(self, prompts: Sequence[np.ndarray]):
         """prompts: list of (Tp_i, d_model) arrays -> stacked voice states.
