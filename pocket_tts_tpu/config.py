@@ -50,6 +50,11 @@ class BackboneConfig:
     # softmax) vs the reference's -1e5 "can't use infinity" hack
     # (torch.h:124-143). A/B switch for real-weights bit comparison.
     mask_value: float = -1e9
+    # jax.sharding.Mesh (hashable, so it can live in this static cfg) for
+    # mesh-sharded decode: the Pallas flash-decode kernel runs inside
+    # jax.shard_map over ("data" streams, "model" head-slices) instead of
+    # being pinned off. Set ONLY through runtime.batched.mesh_cfg.
+    mesh: object = None
 
     @property
     def head_dim(self) -> int:
@@ -94,6 +99,9 @@ class MimiTransformerConfig:
     norm_eps: float = 0.0
     # masked-slot bias; -1e5 in reference-exact mode (torch.h:141)
     mask_value: float = -1e9
+    # mesh for shard_map-wrapped ring kernel (see BackboneConfig.mesh);
+    # set ONLY through runtime.batched.mesh_cfg
+    mesh: object = None
 
     @property
     def head_dim(self) -> int:

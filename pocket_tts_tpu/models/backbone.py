@@ -77,7 +77,8 @@ def quantize_rows(x):
 
 
 def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
-           pos_vec, num_heads: int, gelu_approx: bool, pallas_mode: str):
+           pos_vec, num_heads: int, gelu_approx: bool, pallas_mode: str,
+           mesh=None):
     """One pre-LN layer. ref: streaming_transformer_layer_forward,
     transformer.h:253-278; attention transformer.h:55-199.
 
@@ -114,7 +115,7 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
         attn = decode_attention(
             q[0], k_cache, v_cache, pos_vec, end,
             k_scale=k_scale, v_scale=v_scale,
-            interpret=(pallas_mode == "interpret"))[None]
+            interpret=(pallas_mode == "interpret"), mesh=mesh)[None]
     else:
         if quant:
             # XLA fallback: dequantize in full (correct everywhere; the
@@ -182,7 +183,8 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
         vs = state.v_scale[l] if state.v_scale is not None else None
         x, k_l, v_l, ks_l, vs_l = _layer(
             layer_p, x, state.k[l], state.v[l], ks, vs, state.end, cos, sin,
-            bias, pos_vec, cfg.num_heads, gelu_approx, pallas_mode)
+            bias, pos_vec, cfg.num_heads, gelu_approx, pallas_mode,
+            mesh=cfg.mesh)
         k_new.append(k_l)
         v_new.append(v_l)
         ks_new.append(ks_l)

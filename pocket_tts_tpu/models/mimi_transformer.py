@@ -71,7 +71,7 @@ def _layer(p, x, k_cache, v_cache, offset, start, cos, sin, bias, cfg,
             q.reshape(t, dm), k.reshape(t, dm), v.reshape(t, dm),
             k_cache, v_cache, offset, start,
             num_heads=cfg.num_heads, context=cfg.context,
-            interpret=(pallas_mode == "interpret"))
+            interpret=(pallas_mode == "interpret"), mesh=cfg.mesh)
         attn = attn_flat
     else:
         k_cache = cache_insert_ring(k_cache, k.reshape(t, dm), offset)

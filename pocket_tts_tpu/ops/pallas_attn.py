@@ -30,8 +30,11 @@ lane slices, every intermediate is 2-D, flash stats are (1, H), and both
 contractions are native bf16 MXU passes (an f32 dot is multi-pass on the
 MXU; full-width f32 elementwise ops were the old kernel's main cost).
 
-Numerics match ops.attention.sdpa: logits/softmax in f32, same 1/sqrt(D)
-scale.
+Numerics: logits and softmax statistics are f32 with the same 1/sqrt(D)
+scale as ops.attention.sdpa, but the PV contraction accumulates at the
+INPUT dtype (bf16 MXU on the real model), so outputs differ from the XLA
+path by bf16 rounding — same honest note as config.reference_exact_config,
+which therefore pins this kernel off.
 """
 from __future__ import annotations
 
@@ -219,11 +222,61 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
     return out.reshape(bsz, h, d)
 
 
+def _shard_batched(mesh, quant: bool, block_size: int, interpret: bool):
+    """shard_map wrapper: streams shard over "data", heads over "model".
+
+    GSPMD cannot partition a Mosaic custom call, so under a mesh the
+    batched kernel runs inside an explicit jax.shard_map whose specs match
+    the serving layouts (parallel/sharding.py): q (B, H, D) ->
+    P(data, model, ·); flat caches (B, S, H*D) -> P(data, ·, model); pos
+    and dequant scales (B, S) -> P(data, ·); the shared slot cursor `end`
+    replicated. Each shard runs the unmodified kernel on its local
+    (B/data) streams x (H/model) heads — both embarrassingly parallel, no
+    collectives. The kernel's per-head segment logic only needs the LOCAL
+    head count, which it reads from the local shapes.
+    """
+    from jax.sharding import PartitionSpec as P
+    assert {"data", "model"} <= set(mesh.axis_names), mesh.axis_names
+    q_s = P("data", "model", None)
+    kv_s = P("data", None, "model")
+    row_s = P("data", None)
+    in_specs = ((q_s, kv_s, kv_s, row_s, row_s, row_s, P())
+                if quant else (q_s, kv_s, kv_s, row_s, P()))
+
+    def call(*args):
+        if quant:
+            q, k, v, ks, vs, pos, end = args
+            return _decode_attention_batched(
+                q, k, v, pos, end, ks, vs,
+                block_size=block_size, interpret=interpret)
+        q, k, v, pos, end = args
+        return _decode_attention_batched(
+            q, k, v, pos, end, block_size=block_size, interpret=interpret)
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # info, which the checker would demand (both kernels are per-shard pure
+    # maps, so the check adds nothing here anyway)
+    return jax.shard_map(call, mesh=mesh, in_specs=in_specs, out_specs=q_s,
+                         check_vma=False)
+
+
+def _check_mesh_divides(mesh, axis_size: int, num_heads: int):
+    data = mesh.shape.get("data", 1)
+    model = mesh.shape.get("model", 1)
+    if axis_size % data or num_heads % model:
+        raise ValueError(
+            f"flash-decode shard_map needs batch {axis_size} % data {data} "
+            f"== 0 and heads {num_heads} % model {model} == 0; use "
+            "runtime.batched.mesh_cfg (it falls back to the XLA path)")
+
+
 @functools.lru_cache(maxsize=None)
-def _make_decode_attention(block_size: int, interpret: bool):
+def _make_decode_attention(block_size: int, interpret: bool, mesh=None):
     """Single-stream decode attention with a custom vmap rule that dispatches
     the explicitly-batched kernel (so the engine's vmap lands here instead
-    of an unbatchable custom call)."""
+    of an unbatchable custom call). mesh: run the batched kernel inside
+    shard_map (vmapped calls only — the unvmapped base case is solo-stream
+    and never sharded)."""
 
     @jax.custom_batching.custom_vmap
     def fn(q, k_cache, v_cache, pos, end):
@@ -239,16 +292,21 @@ def _make_decode_attention(block_size: int, interpret: bool):
         def bat(x, isb):
             return x if isb else jnp.broadcast_to(x, (axis_size,) + x.shape)
 
-        out = _decode_attention_batched(
-            bat(q, qb), bat(k_cache, kb), bat(v_cache, vb), bat(pos, pb),
-            end, block_size=block_size, interpret=interpret)
+        args = (bat(q, qb), bat(k_cache, kb), bat(v_cache, vb),
+                bat(pos, pb), jnp.asarray(end, jnp.int32))
+        if mesh is not None:
+            _check_mesh_divides(mesh, axis_size, q.shape[-2])
+            out = _shard_batched(mesh, False, block_size, interpret)(*args)
+        else:
+            out = _decode_attention_batched(
+                *args, block_size=block_size, interpret=interpret)
         return out, True
 
     return fn
 
 
 @functools.lru_cache(maxsize=None)
-def _make_decode_attention_q(block_size: int, interpret: bool):
+def _make_decode_attention_q(block_size: int, interpret: bool, mesh=None):
     """int8-KV variant (per-row dequant scales as extra operands)."""
 
     @jax.custom_batching.custom_vmap
@@ -267,10 +325,17 @@ def _make_decode_attention_q(block_size: int, interpret: bool):
         def bat(x, isb):
             return x if isb else jnp.broadcast_to(x, (axis_size,) + x.shape)
 
-        out = _decode_attention_batched(
-            bat(q, qb), bat(k_cache, kb), bat(v_cache, vb), bat(pos, pb),
-            end, bat(k_scale, ksb), bat(v_scale, vsb),
-            block_size=block_size, interpret=interpret)
+        if mesh is not None:
+            _check_mesh_divides(mesh, axis_size, q.shape[-2])
+            out = _shard_batched(mesh, True, block_size, interpret)(
+                bat(q, qb), bat(k_cache, kb), bat(v_cache, vb),
+                bat(k_scale, ksb), bat(v_scale, vsb), bat(pos, pb),
+                jnp.asarray(end, jnp.int32))
+        else:
+            out = _decode_attention_batched(
+                bat(q, qb), bat(k_cache, kb), bat(v_cache, vb), bat(pos, pb),
+                end, bat(k_scale, ksb), bat(v_scale, vsb),
+                block_size=block_size, interpret=interpret)
         return out, True
 
     return fn
@@ -287,13 +352,15 @@ def _pick_block(s: int) -> int:
 
 
 def decode_attention(q, k_cache, v_cache, pos, end, block_size: int = None,
-                     k_scale=None, v_scale=None, interpret: bool = False):
+                     k_scale=None, v_scale=None, interpret: bool = False,
+                     mesh=None):
     """q: (H, D) single query; k/v_cache: (S, H, D) or flat (S, H*D);
     pos: (S,) int32 (-1 = invalid); end: () int32 last written slot index
     (batch-uniform under vmap); k_scale/v_scale: (S,) f32 per-row dequant
-    scales when the cache is int8 (cfg.quantize_kv). Returns (H, D)
-    attention output (same semantics as
-    sdpa(q[None], cache, cache, bias-from-pos)[0])."""
+    scales when the cache is int8 (cfg.quantize_kv); mesh: shard the
+    batched kernel over ("data" streams, "model" heads) via shard_map —
+    set through runtime.batched.mesh_cfg. Returns (H, D) attention output
+    (same semantics as sdpa(q[None], cache, cache, bias-from-pos)[0])."""
     if k_cache.ndim == 3:
         s = k_cache.shape[0]
         k_cache = k_cache.reshape(s, -1)
@@ -301,8 +368,8 @@ def decode_attention(q, k_cache, v_cache, pos, end, block_size: int = None,
     if block_size is None:
         block_size = _pick_block(k_cache.shape[0])
     if k_scale is not None:
-        return _make_decode_attention_q(block_size, interpret)(
+        return _make_decode_attention_q(block_size, interpret, mesh)(
             q, k_cache, v_cache, k_scale, v_scale, pos,
             jnp.asarray(end, jnp.int32))
-    return _make_decode_attention(block_size, interpret)(
+    return _make_decode_attention(block_size, interpret, mesh)(
         q, k_cache, v_cache, pos, jnp.asarray(end, jnp.int32))

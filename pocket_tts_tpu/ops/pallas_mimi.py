@@ -201,11 +201,31 @@ def _make_ring_attention(num_heads: int, context: int, interpret: bool):
     return batched
 
 
+def _shard_batched(mesh, num_heads: int, context: int, interpret: bool):
+    """shard_map wrapper: streams over "data", heads over "model" (specs
+    match parallel/sharding.py's serving layouts — no collectives). Each
+    shard runs the unmodified kernel with its LOCAL head count; see
+    pallas_attn._shard_batched for the rationale (GSPMD cannot partition
+    Mosaic custom calls)."""
+    from jax.sharding import PartitionSpec as P
+    assert {"data", "model"} <= set(mesh.axis_names), mesh.axis_names
+    model = mesh.shape.get("model", 1)
+    local = _make_ring_attention(num_heads // model, context, interpret)
+    row_s = P("data", None, "model")
+    # check_vma=False: see pallas_attn._shard_batched
+    return jax.shard_map(
+        lambda q, kn, vn, kc, vc, off, st: local(q, kn, vn, kc, vc, off, st),
+        mesh=mesh,
+        in_specs=(row_s, row_s, row_s, row_s, row_s, P(), P("data")),
+        out_specs=(row_s, row_s, row_s), check_vma=False)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_ring_attention_vmapped(num_heads: int, context: int,
-                                 interpret: bool):
+                                 interpret: bool, mesh=None):
     """Single-stream fused ring insert+attend with a custom vmap rule
-    dispatching the batched kernel (shared `offset`, per-stream `start`)."""
+    dispatching the batched kernel (shared `offset`, per-stream `start`).
+    mesh: run the batched kernel inside shard_map (vmapped calls only)."""
     batched = _make_ring_attention(num_heads, context, interpret)
 
     @jax.custom_batching.custom_vmap
@@ -226,8 +246,22 @@ def _make_ring_attention_vmapped(num_heads: int, context: int,
 
         starts = (start if sb
                   else jnp.broadcast_to(start, (axis_size,)))
-        out = batched(bat(q, qb), bat(k_new, knb), bat(v_new, vnb),
-                      bat(k_cache, kb), bat(v_cache, vb), offset, starts)
+        if mesh is not None:
+            data = mesh.shape.get("data", 1)
+            model = mesh.shape.get("model", 1)
+            if axis_size % data or num_heads % model:
+                raise ValueError(
+                    f"mimi ring shard_map needs batch {axis_size} % data "
+                    f"{data} == 0 and heads {num_heads} % model {model} "
+                    "== 0; use runtime.batched.mesh_cfg")
+            dispatch = _shard_batched(mesh, num_heads, context, interpret)
+            out = dispatch(bat(q, qb), bat(k_new, knb), bat(v_new, vnb),
+                           bat(k_cache, kb), bat(v_cache, vb),
+                           jnp.asarray(offset, jnp.int32).reshape(1),
+                           starts)
+        else:
+            out = batched(bat(q, qb), bat(k_new, knb), bat(v_new, vnb),
+                          bat(k_cache, kb), bat(v_cache, vb), offset, starts)
         return out, (True, True, True)
 
     return fn
@@ -235,15 +269,17 @@ def _make_ring_attention_vmapped(num_heads: int, context: int,
 
 def ring_insert_attention(q, k_new, v_new, k_cache, v_cache, offset, start,
                           num_heads: int, context: int,
-                          interpret: bool = False):
+                          interpret: bool = False, mesh=None):
     """Fused mimi ring step for one stream (batch via vmap).
 
     q/k_new/v_new: (T, H*D) post-rope rows; k/v_cache: (cap, H*D)
     PRE-insert, cap % T == 0 and offset % T == 0; offset: () total
     timesteps written (batch-uniform under vmap); start: () first timestep
-    owned by this stream (continuous batching fence). Returns
-    (attn (T, H*D), k_cache', v_cache') — the caches updated in place.
+    owned by this stream (continuous batching fence); mesh: shard the
+    batched kernel over ("data" streams, "model" heads) — set through
+    runtime.batched.mesh_cfg. Returns (attn (T, H*D), k_cache', v_cache')
+    — the caches updated in place.
     """
-    return _make_ring_attention_vmapped(num_heads, context, interpret)(
+    return _make_ring_attention_vmapped(num_heads, context, interpret, mesh)(
         q, k_new, v_new, k_cache, v_cache,
         jnp.asarray(offset, jnp.int32), jnp.asarray(start, jnp.int32))

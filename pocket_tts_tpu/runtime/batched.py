@@ -227,24 +227,49 @@ def continuous_decode_chunk(p, cfg, chunk_frames: int, states, rngs, temps,
     return states, pcm.transpose(1, 0, 2), valid.T
 
 
+def mesh_cfg(cfg, mesh):
+    """The cfg every mesh-sharded decode program must be built with.
+
+    GSPMD has no partitioning rule for Mosaic custom calls, so the Pallas
+    kernels (backbone flash-decode + fused mimi ring) cannot be left for
+    XLA to shard. When the mesh divides their head counts they run inside
+    `jax.shard_map` instead (cfg.mesh threads the mesh to the kernel call
+    sites — see ops/pallas_attn.decode_attention); otherwise they are
+    pinned OFF and the XLA paths (which GSPMD shards fine) take over.
+
+    Every consumer of a mesh (BatchedEngine, MultiStreamServer,
+    ContinuousBatchingServer) MUST build its decode cfg through this one
+    helper — passing a raw engine cfg to a sharded program dispatches
+    un-partitionable custom calls and crashes on real multi-chip hardware
+    (invisible on CPU test meshes, where Pallas auto-disables).
+    """
+    if mesh is None:
+        return cfg
+    import dataclasses
+    model = mesh.shape.get("model", 1)
+
+    def sub(c):
+        # the kernels shard heads over "model": head count must divide
+        if c.num_heads % model == 0:
+            return dataclasses.replace(c, mesh=mesh)
+        return dataclasses.replace(c, use_pallas_attn=False)
+
+    return dataclasses.replace(
+        cfg,
+        backbone=sub(cfg.backbone),
+        mimi=dataclasses.replace(
+            cfg.mimi, transformer=sub(cfg.mimi.transformer)))
+
+
 class BatchedEngine:
     """Synthesize many sentences concurrently on one chip (vmap) or a mesh."""
 
     def __init__(self, engine: TTSEngine, mesh=None):
         self.engine = engine
         self.mesh = mesh
-        # GSPMD has no partitioning rule for the Mosaic attention custom
-        # calls (backbone flash-decode AND the fused mimi ring kernel);
-        # pin the XLA paths for sharded serving. Kept LOCAL (self.cfg) —
-        # mutating engine.cfg would silently strip the Pallas paths from
+        # Kept LOCAL (self.cfg) — mutating engine.cfg would silently change
         # the caller's solo engine too.
-        import dataclasses
-        c = engine.cfg
-        self.cfg = c if mesh is None else dataclasses.replace(
-            c,
-            backbone=dataclasses.replace(c.backbone, use_pallas_attn=False),
-            mimi=dataclasses.replace(c.mimi, transformer=dataclasses.replace(
-                c.mimi.transformer, use_pallas_attn=False)))
+        self.cfg = mesh_cfg(engine.cfg, mesh)
 
     def prime_voices(self, prompts: Sequence[np.ndarray]):
         """prompts: list of (Tp_i, d_model) arrays -> stacked voice states.
@@ -262,7 +287,7 @@ class BatchedEngine:
                                    jnp.asarray(padded, eng.dtype), n_valid)
 
     def synthesize_batch(self, texts: List[str], voice_states,
-                         temp: float = 0.7) -> List[np.ndarray]:
+                         temp: float = 0.6) -> List[np.ndarray]:
         """One prepared sentence per stream -> list of PCM arrays."""
         eng = self.engine
         b = len(texts)

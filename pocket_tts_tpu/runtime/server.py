@@ -28,7 +28,7 @@ from ..models import backbone, mimi, tts
 from ..text.preprocess import count_words, prepare_text_prompt
 from .batched import (_axes_like, admit_stream, batched_decode_sentence,
                       batched_prime_voice, batched_sentence_prefill,
-                      continuous_decode_chunk, empty_batch_state,
+                      continuous_decode_chunk, empty_batch_state, mesh_cfg,
                       stack_states)
 from .engine import TTSEngine, _bucket, _SCAN_BUCKET
 
@@ -56,6 +56,9 @@ class MultiStreamServer:
         self.engine = engine
         self.max_batch = max_batch
         self.mesh = mesh
+        # decode cfg for THIS mesh (never raw engine.cfg: un-partitionable
+        # Mosaic custom calls would crash sharded runs — see mesh_cfg)
+        self.cfg = mesh_cfg(engine.cfg, mesh)
         self.chunk_frames = chunk_frames
         self._voices: Dict[str, int] = {}
         self._voice_states = None
@@ -74,10 +77,10 @@ class MultiStreamServer:
             [np.pad(a, ((0, tp - a.shape[0]), (0, 0))) for a in arrs]),
             eng.dtype)
         n_valid = jnp.asarray([a.shape[0] for a in arrs], jnp.int32)
-        states = stack_states([backbone.init_state(eng.cfg.backbone,
+        states = stack_states([backbone.init_state(self.cfg.backbone,
                                                    eng.dtype)
                                for _ in arrs])
-        self._voice_states = batched_prime_voice(eng.params, eng.cfg, states,
+        self._voice_states = batched_prime_voice(eng.params, self.cfg, states,
                                                  padded, n_valid)
         self._voices = {n: i for i, n in enumerate(names)}
 
@@ -125,10 +128,11 @@ class MultiStreamServer:
         vstates = self._gather_voice_states([r.voice for r in reqs])
         cap = eng._sentence_capacity(tp, int(max_steps_np.max()),
                                      prompt_slots=int(vstates.end))
-        if cap < eng.cfg.backbone.kv_capacity:
+        if cap < self.cfg.backbone.kv_capacity:
             vstates = backbone.shrink_state(vstates, cap)
         states = batched_sentence_prefill(
-            eng.params, eng.cfg, vstates, eng._mimi_template, tokens, n_valid)
+            eng.params, self.cfg, vstates, eng._mimi_template, tokens,
+            n_valid)
         if self.mesh is not None:
             from ..parallel.sharding import shard_batched_state
             states = shard_batched_state(states, self.mesh)
@@ -143,7 +147,7 @@ class MultiStreamServer:
         offset = 0
         while offset < total:
             states, pcm, valid = batched_decode_sentence(
-                eng.params, eng.cfg, states, rngs, temps, fae, max_steps,
+                eng.params, self.cfg, states, rngs, temps, fae, max_steps,
                 self.chunk_frames, rng_offset=offset)
             pcm = np.asarray(pcm)
             valid = np.asarray(valid)
@@ -214,6 +218,8 @@ class ContinuousBatchingServer:
         self.chunk_frames = chunk_frames
         self.text_bucket = text_bucket
         self.mesh = mesh
+        # decode cfg for THIS mesh (never raw engine.cfg — see mesh_cfg)
+        self.cfg = mesh_cfg(engine.cfg, mesh)
         self._voice_states: Dict[str, backbone.BackboneState] = {}
         self.prompt_pad: Optional[int] = None
         self._queue: List[Request] = []
@@ -244,9 +250,9 @@ class ContinuousBatchingServer:
         for name, a in arrs.items():
             padded = jnp.asarray(
                 np.pad(a, ((0, tp - a.shape[0]), (0, 0))), eng.dtype)
-            state = backbone.init_state(eng.cfg.backbone, eng.dtype)
+            state = backbone.init_state(self.cfg.backbone, eng.dtype)
             self._voice_states[name] = tts.jit_prime_voice(
-                eng.params, eng.cfg, state, padded,
+                eng.params, self.cfg, state, padded,
                 jnp.int32(a.shape[0]))
         self.prompt_pad = tp
 
@@ -272,10 +278,10 @@ class ContinuousBatchingServer:
         tokens = jnp.asarray(np.pad(np.asarray(ids, np.int32),
                                     (0, self.text_bucket - len(ids))))
         vstate = self._voice_states[req.voice]
-        if self.capacity < eng.cfg.backbone.kv_capacity:
+        if self.capacity < self.cfg.backbone.kv_capacity:
             vstate = backbone.shrink_state(vstate, self.capacity)
         fresh = tts.jit_sentence_prefill(
-            eng.params, eng.cfg, vstate, eng._mimi_template, tokens,
+            eng.params, self.cfg, vstate, eng._mimi_template, tokens,
             jnp.int32(len(ids)))
         max_steps = int((count_words(text) + 2.0)
                         * eng.cfg.mimi.frame_rate)
@@ -283,7 +289,7 @@ class ContinuousBatchingServer:
 
     def _reset_epoch(self):
         eng = self.engine
-        self.batch = empty_batch_state(eng.params, eng.cfg, self.lanes,
+        self.batch = empty_batch_state(eng.params, self.cfg, self.lanes,
                                        self.capacity, self.prefix_slots,
                                        eng.dtype)
         if self.mesh is not None:
@@ -332,7 +338,7 @@ class ContinuousBatchingServer:
             return 0
         eng = self.engine
         self.batch, pcm, valid = continuous_decode_chunk(
-            eng.params, eng.cfg, self.chunk_frames, self.batch,
+            eng.params, self.cfg, self.chunk_frames, self.batch,
             jnp.asarray(self._rngs), jnp.asarray(self._temps),
             jnp.asarray(self._fae), jnp.asarray(self._max_steps))
         pcm = np.asarray(pcm)

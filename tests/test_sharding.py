@@ -100,3 +100,69 @@ class TestSharded:
         sys.path.insert(0, ".")
         import __graft_entry__
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestShardMapPallas:
+    """The Pallas kernels must survive GSPMD: under a mesh they run inside
+    jax.shard_map ("data" streams x "model" head-slices) instead of being
+    pinned off (VERDICT r2 next #1b)."""
+
+    def _pallas_cfg(self):
+        import dataclasses
+        return dataclasses.replace(
+            CFG,
+            backbone=dataclasses.replace(CFG.backbone, use_pallas_attn=True),
+            mimi=dataclasses.replace(
+                CFG.mimi, transformer=dataclasses.replace(
+                    CFG.mimi.transformer, use_pallas_attn=True)))
+
+    def test_mesh_cfg_threads_mesh_when_divisible(self):
+        from pocket_tts_tpu.runtime.batched import mesh_cfg
+        mesh = make_mesh(data=4, model=2)  # heads: backbone 4, mimi 2
+        cfg_m = mesh_cfg(self._pallas_cfg(), mesh)
+        assert cfg_m.backbone.mesh is mesh
+        assert cfg_m.backbone.use_pallas_attn is True
+        assert cfg_m.mimi.transformer.mesh is mesh
+
+    def test_mesh_cfg_pins_pallas_off_when_indivisible(self):
+        from pocket_tts_tpu.runtime.batched import mesh_cfg
+        mesh = make_mesh(data=1, model=8)  # 8 does not divide 4 heads
+        cfg_m = mesh_cfg(self._pallas_cfg(), mesh)
+        assert cfg_m.backbone.use_pallas_attn is False
+        assert cfg_m.backbone.mesh is None
+        assert cfg_m.mimi.transformer.use_pallas_attn is False
+
+    def test_sharded_pallas_step_matches_unsharded_xla(self):
+        from pocket_tts_tpu.runtime.batched import mesh_cfg
+        b = 4
+        states = _batched_setup(b)
+        rngs = jnp.stack([jax.random.PRNGKey(i) for i in range(b)])
+        args = (jnp.full((b,), 0.7, jnp.float32),
+                jnp.full((b,), 3, jnp.int32), jnp.full((b,), 50, jnp.int32))
+        _, pcm_ref, _ = batched_frame_step(PARAMS, CFG, states, rngs, *args)
+
+        mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+        cfg_m = mesh_cfg(self._pallas_cfg(), mesh)
+        assert cfg_m.backbone.mesh is mesh  # kernels stay ENABLED
+        p_sh = shard_params(PARAMS, mesh)
+        st_sh = shard_batched_state(states, mesh)
+        _, pcm_sh, _ = batched_frame_step(p_sh, cfg_m, st_sh, rngs, *args)
+        np.testing.assert_allclose(np.asarray(pcm_sh), np.asarray(pcm_ref),
+                                   atol=1e-4)
+
+    def test_servers_build_cfg_through_mesh_cfg(self):
+        """A server given a mesh must never hand raw engine.cfg to decode
+        programs (the r2 latent multi-chip crash): its cfg must either
+        carry the mesh (shard_map path) or pin the kernels off."""
+        import dataclasses
+        from pocket_tts_tpu.runtime.server import (ContinuousBatchingServer,
+                                                   MultiStreamServer)
+        eng = TTSEngine(params=PARAMS, cfg=self._pallas_cfg(),
+                        tokenizer=MockTokenizer(CFG.lut.n_bins))
+        mesh = make_mesh(data=4, model=2)
+        for server in (MultiStreamServer(eng, max_batch=4, mesh=mesh),
+                       ContinuousBatchingServer(eng, lanes=4, mesh=mesh)):
+            for sub in (server.cfg.backbone, server.cfg.mimi.transformer):
+                assert (sub.mesh is mesh) or (sub.use_pallas_attn is False)
+        # and without a mesh the engine cfg passes through untouched
+        assert MultiStreamServer(eng, max_batch=4).cfg is eng.cfg
