@@ -18,6 +18,13 @@ import jax.numpy as jnp
 # quantize only weights at least this many elements (biases/norms stay f32)
 _MIN_QUANT_SIZE = 64 * 64
 
+# Params-cache layout version. "rope-halves-v1": in_proj q/k columns are
+# stored PERMUTED (evens-then-odds per head, io/params.py) so the model can
+# apply RoPE on contiguous halves. A cache saved before that permutation
+# existed would load without error and produce silently corrupt audio, so
+# load_params_cache refuses any cache missing the matching stamp.
+_LAYOUT_VERSION = "rope-halves-v1"
+
 
 def _quantize_weight(w32, bits: int):
     """w32 (..., in, out) -> (payload dict) with per-output-channel scales;
@@ -40,13 +47,56 @@ def _quantize_weight(w32, bits: int):
             "scale": jnp.asarray(scale)}
 
 
-def quantize_params(params, bits: int = 8) -> dict:
-    """Quantize every eligible linear weight in a params pytree.
+# conv weights below this many elements stay bf16: the blocked-time seanet
+# tail (model_9 resnet, model_11) reads tiny weights through kron-expanded
+# block-diagonal matmuls that a quantized layout can't feed, and their
+# streams are <100 KB/frame anyway
+_MIN_CONV_QUANT_SIZE = 16384
 
-    A dict node {"w": 2-D weight, ...} becomes {"q"/"q4", "scale", ...};
-    conv weights (3-D with small trailing kernel dim) and small tensors are
-    left alone. Stacked layer weights (L, in, out) quantize per
-    layer x output channel. bits: 8 or 4.
+# module names whose "w" is a conv1d (Cout, Cin, K) / convtr (Cin, Cout, K)
+# weight in the seanet/mimi decode chain (models/seanet.py naming)
+_CONV1D_MODULES = frozenset({"model_0", "model_11", "block_1", "block_3"})
+_CONVTR_MODULES = frozenset({"model_2", "model_5", "model_8"})
+
+
+def _quantize_conv1d(w32, bits: int):
+    """conv1d w (Cout, Cin, K) -> {"qc"/"qc4", "scale"} over the logical
+    2-D weight wf (K*Cin, Cout), wf[j*Cin + c, o] = w[o, c, j] — the layout
+    ops.conv.conv1d's window-concat matmul consumes (x windows are
+    [x_t | x_{t+1} | ...] along features)."""
+    cout, cin, k = w32.shape
+    wf = np.transpose(w32, (2, 1, 0)).reshape(k * cin, cout)
+    qd = _quantize_weight(wf, bits)
+    if qd is None:
+        return None
+    return {("qc" if bits == 8 else "qc4"): qd.get("q", qd.get("q4")),
+            "scale": qd["scale"]}
+
+
+def _quantize_convtr(w32, bits: int):
+    """convtr w (Cin, Cout, K), K == 2*stride -> {"qt"/"qt4", "scale"} over
+    the j-major flattened weight w2 (Cin, K*Cout) that both the flat and
+    blocked-time streaming transposed convs already matmul against
+    (ops/conv.py conv_transpose1d)."""
+    cin, cout, k = w32.shape
+    w2 = np.transpose(w32, (0, 2, 1)).reshape(cin, k * cout)
+    qd = _quantize_weight(w2, bits)
+    if qd is None:
+        return None
+    return {("qt" if bits == 8 else "qt4"): qd.get("q", qd.get("q4")),
+            "scale": qd["scale"]}
+
+
+def quantize_params(params, bits: int = 8) -> dict:
+    """Quantize every eligible weight in a params pytree.
+
+    Linear {"w": 2-D / stacked (L, in, out)} -> {"q"/"q4", "scale"};
+    seanet conv1d / k==2s convtr weights -> {"qc(4)"/"qt(4)", "scale"}
+    (per-output-channel, consumed by ops/conv.py's fused matmul paths) —
+    the analog of the reference's quantize-everything-the-op-allows policy
+    with fallbacks (src/loader.h:162-173,206-210). Small tensors, biases,
+    norms, the depthwise upsample and the blocked-time seanet tail stay
+    full precision. bits: 8 or 4.
     """
     assert bits in (8, 4), bits
 
@@ -59,19 +109,39 @@ def quantize_params(params, bits: int = 8) -> dict:
         # trailing kernel dim is small
         return val.ndim == 3 and val.shape[2] >= 128
 
-    def walk(node):
+    def conv_kind(name, val):
+        if (not hasattr(val, "ndim") or val.ndim != 3
+                or val.size < _MIN_CONV_QUANT_SIZE):
+            return None
+        if name in _CONV1D_MODULES:
+            return "conv1d"
+        if name in _CONVTR_MODULES and val.shape[2] >= 2:
+            return "convtr"
+        return None
+
+    def walk(node, name=""):
         if isinstance(node, dict):
             out = {}
             for key, val in node.items():
-                if key == "w" and eligible(val):
-                    qd = _quantize_weight(np.asarray(val, np.float32), bits)
-                    if qd is not None:
-                        out.update(qd)
-                        continue
-                out[key] = walk(val)
+                if key == "w":
+                    kind = conv_kind(name, val)
+                    if kind is not None:
+                        qd = (_quantize_conv1d if kind == "conv1d"
+                              else _quantize_convtr)(
+                                  np.asarray(val, np.float32), bits)
+                        if qd is not None:
+                            out.update(qd)
+                            continue
+                    elif eligible(val):
+                        qd = _quantize_weight(np.asarray(val, np.float32),
+                                              bits)
+                        if qd is not None:
+                            out.update(qd)
+                            continue
+                out[key] = walk(val, key)
             return out
         if isinstance(node, (list, tuple)):
-            return type(node)(walk(v) for v in node)
+            return type(node)(walk(v, name) for v in node)
         return node
     return walk(params)
 
@@ -93,14 +163,17 @@ def save_params_cache(params, path: str, gguf_quantize=None):
     structure = json.dumps(_tree_skeleton(params))
     if path.endswith(".gguf"):
         from .gguf import write_gguf
-        write_gguf(path, tensors, metadata={"pocket_tts.tree": structure},
+        write_gguf(path, tensors,
+                   metadata={"pocket_tts.tree": structure,
+                             "pocket_tts.layout": _LAYOUT_VERSION},
                    quantize=gguf_quantize)
     else:
         if gguf_quantize:
             raise ValueError("gguf_quantize requires a .gguf path")
         from .safetensors_io import save_safetensors
         save_safetensors(tensors, path,
-                         metadata={"pocket_tts_tree": structure})
+                         metadata={"pocket_tts_tree": structure,
+                                   "pocket_tts_layout": _LAYOUT_VERSION})
 
 
 def load_params_cache(path: str):
@@ -108,10 +181,17 @@ def load_params_cache(path: str):
         from .gguf import read_gguf
         tensors, meta = read_gguf(path)
         structure = json.loads(meta["pocket_tts.tree"])
+        layout = meta.get("pocket_tts.layout")
     else:
         from .safetensors_io import load_safetensors
         tensors, meta = load_safetensors(path, with_metadata=True)
         structure = json.loads(meta["pocket_tts_tree"])
+        layout = meta.get("pocket_tts_layout")
+    if layout != _LAYOUT_VERSION:
+        raise ValueError(
+            f"params cache {path!r} has layout {layout!r}, this build needs "
+            f"{_LAYOUT_VERSION!r} (in_proj RoPE column permutation) — "
+            "re-save it from the original checkpoint")
     flat = {k: jnp.asarray(np.asarray(v)) for k, v in tensors.items()}
     return _tree_unskeleton(structure, flat, "")
 

@@ -29,12 +29,50 @@ import jax.numpy as jnp
 # plain conv1d (stride s, no padding) via shifted matmuls — MXU friendly
 # ---------------------------------------------------------------------------
 
+def _conv_kernel_size(p, cin: int) -> int:
+    """Static K from either a full "w" or a quantized conv layout
+    (io/quant.py: qc/qc4 hold the (K*Cin, Cout) logical weight)."""
+    w = p.get("w")
+    if w is not None:
+        return w.shape[-1]
+    qc = p.get("qc")
+    if qc is not None:
+        return qc.shape[0] // cin
+    return 2 * p["qc4"].shape[0] // cin
+
+
+def _conv1d_quant(p, x, stride: int):
+    """conv1d against int8/int4 weights: K shifted views of x concatenate
+    along features (a tiny activation copy) and ONE fused dequant-matmul
+    streams the quantized bytes — the conv analog of ops/quant_matmul
+    (reference policy: quantize everything the op allows,
+    src/loader.h:162-173,206-210)."""
+    from .quant_matmul import int4_matmul, int8_matmul
+    t, cin = x.shape
+    qc = p.get("qc")
+    k = _conv_kernel_size(p, cin)
+    tout = (t - k) // stride + 1
+    if k == 1 and stride == 1:
+        xw = x
+    else:
+        xw = jnp.concatenate(
+            [x[j: j + stride * tout: stride] for j in range(k)], axis=1)
+    y = (int8_matmul(xw, qc, p["scale"]) if qc is not None
+         else int4_matmul(xw, p["qc4"], p["scale"]))
+    b = p.get("b")
+    if b is not None:
+        y = y + b[None, :]
+    return y.astype(x.dtype)
+
+
 def conv1d(p, x, stride: int = 1):
     """VALID conv1d. x: (T, Cin) -> ((T-K)//stride + 1, Cout).
 
     ref: torch_nn_conv1d / moshi_stateless_conv_1d (src/torch.h:18-30,
     src/pocket_tts/modules/conv.h:160-172).
     """
+    if "qc" in p or "qc4" in p:
+        return _conv1d_quant(p, x, stride)
     w = p["w"]  # (Cout, Cin, K)
     cout, cin, k = w.shape
     t = x.shape[0]
@@ -63,8 +101,7 @@ def streaming_conv1d(p, prev, x, stride: int = 1):
     Returns (new_prev, y).
     ref: moshi_streaming_conv_1d, src/pocket_tts/modules/conv.h:48-87.
     """
-    w = p["w"]
-    k = w.shape[-1]
+    k = _conv_kernel_size(p, x.shape[1])
     tp = k - stride
     xc = jnp.concatenate([prev, x], axis=0) if tp > 0 else x
     new_prev = xc[xc.shape[0] - tp:] if tp > 0 else prev
@@ -81,14 +118,36 @@ def conv1d_init_state(in_ch: int, kernel: int, stride: int = 1,
 # transposed conv1d
 # ---------------------------------------------------------------------------
 
+def _convtr_matmul(p, x, stride: int):
+    """u = x @ w2 against the j-major flattened (Cin, K*Cout) weight of a
+    K == 2*stride transposed conv — full "w" or quantized qt/qt4 layout
+    (io/quant.py), in which case a fused dequant-matmul streams the bytes.
+    Returns (u (T, K*Cout), cout, k)."""
+    qt = p.get("qt")
+    qt4 = p.get("qt4")
+    if qt is None and qt4 is None:
+        w = p["w"]  # (Cin, Cout, K)
+        cin, cout, k = w.shape
+        w2 = jnp.transpose(w, (0, 2, 1)).reshape(cin, k * cout)
+        u = jnp.dot(x, w2,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+        return u, cout, k
+    from .quant_matmul import int4_matmul, int8_matmul
+    k = 2 * stride  # the quantized layout exists only for k == 2*stride
+    cout = (qt if qt is not None else qt4).shape[1] // k
+    u = (int8_matmul(x, qt, p["scale"]) if qt is not None
+         else int4_matmul(x, qt4, p["scale"])).astype(x.dtype)
+    return u, cout, k
+
+
 def conv_transpose1d(p, x, stride: int, include_bias: bool = True):
     """Full VALID transposed conv. x: (T, Cin) -> ((T-1)*stride + K, Cout).
 
     y[i*s + j, o] += sum_c x[i, c] * w[c, o, j].
     """
-    w = p["w"]  # (Cin, Cout, K)
-    cin, cout, k = w.shape
     t = x.shape[0]
+    quant = "qt" in p or "qt4" in p
+    k = 2 * stride if quant else p["w"].shape[-1]
     lout = (t - 1) * stride + k
     if k == 2 * stride:
         # every convtr in this model has K == 2*stride: output row i*s + j
@@ -97,15 +156,15 @@ def conv_transpose1d(p, x, stride: int, include_bias: bool = True):
         # reshapes to (T*s, Cout) preserving byte order, and the
         # overlap-add is two row-block pads.
         s = stride
-        w2 = jnp.transpose(w, (0, 2, 1)).reshape(cin, k * cout)
-        u = jnp.dot(x, w2,
-                    preferred_element_type=jnp.float32).astype(x.dtype)
+        u, cout, k = _convtr_matmul(p, x, stride)
         a = u[:, : s * cout].reshape(t * s, cout)
         bb = u[:, s * cout:].reshape(t * s, cout)
         y = (jnp.pad(a, ((0, s), (0, 0)))
              + jnp.pad(bb, ((s, 0), (0, 0))))        # (T*s + s, Cout)
     else:
         # general overlap-add scatter
+        w = p["w"]
+        cout = w.shape[1]
         u = jnp.einsum("tc,coj->jto", x, w,
                        preferred_element_type=jnp.float32).astype(x.dtype)
         y = jnp.zeros((lout, cout), dtype=x.dtype)
@@ -132,8 +191,7 @@ def streaming_conv_transpose1d(p, prev_y, x, stride: int):
         out = (y + bias)[: Lfull - PT]
     Returns (new_prev, out).
     """
-    w = p["w"]
-    k = w.shape[-1]
+    k = (2 * stride if ("qt" in p or "qt4" in p) else p["w"].shape[-1])
     pt = k - stride
     y = conv_transpose1d(p, x, stride, include_bias=False)
     y = y.at[:pt].add(prev_y)
@@ -209,12 +267,9 @@ def streaming_conv_transpose1d_blocked(p, prev_row, x, stride: int):
     matmul against the j-major flattened weight already emits (j, o)
     column order, so no reshape ever materializes the flat (T*s, Cout).
     """
-    w = p["w"]  # (Cin, Cout, K)
-    cin, cout, k = w.shape
     s = stride
+    u, cout, k = _convtr_matmul(p, x, stride)
     assert k == 2 * s, (k, s)
-    w2 = jnp.transpose(w, (0, 2, 1)).reshape(cin, k * cout)
-    u = jnp.dot(x, w2, preferred_element_type=jnp.float32).astype(x.dtype)
     a = u[:, : s * cout]                      # taps j <  s: rows t
     bb = u[:, s * cout:]                      # taps j >= s: rows t+1
     yb = (jnp.pad(a, ((0, 1), (0, 0)))

@@ -48,16 +48,15 @@ def _n_tile(n: int, k: int, bits: int) -> int:
     return n
 
 
-def _m_tile(t: int, cap: int = 256) -> int:
-    """Row-tile height: the collapsed batched prefill feeds thousands of
-    rows (B x T), and an untiled (t, K) x-block VMEM-OOMs; decode feeds
-    1-32 rows, which stay a single tile."""
-    if t <= cap:
-        return t
-    for mt in (256, 128, 64, 32, 16, 8, 4, 2, 1):
-        if t % mt == 0:
-            return mt
-    return 1
+def _m_tile(t: int, cap: int = 256):
+    """(row-tile height, padded row count). The collapsed batched prefill
+    feeds thousands of rows (B x T) — an untiled (t, K) x-block VMEM-OOMs —
+    while decode feeds 1-32 rows (single tile). Awkward row counts (the
+    quantized seanet convs feed e.g. 482 rows) PAD up to a tile multiple
+    instead of shrinking the tile: tiny tiles multiply the ~0.3-0.8 us
+    per-grid-step overhead across hundreds of steps."""
+    mt = t if t <= cap else cap
+    return mt, -(-t // mt) * mt
 
 
 # ---------------------------------------------------------------------------
@@ -101,11 +100,13 @@ def int8_matmul_pallas(x, q, scale, layer=None, interpret: bool = False):
     t, k = x.shape
     n = q.shape[-1]
     nt = _n_tile(n, k, 8)
-    mt = _m_tile(t)
+    mt, tp = _m_tile(t)
     wspec, sspec, q, scale = _w_specs(q, scale, layer, nt)
-    return pl.pallas_call(
+    if tp != t:
+        x = jnp.pad(x, ((0, tp - t), (0, 0)))
+    y = pl.pallas_call(
         _int8_kernel,
-        grid=(t // mt, n // nt),
+        grid=(tp // mt, n // nt),
         in_specs=[
             pl.BlockSpec((mt, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -114,9 +115,10 @@ def int8_matmul_pallas(x, q, scale, layer=None, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((mt, nt), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((tp, n), x.dtype),
         interpret=interpret,
     )(x, q, scale)
+    return y[:t] if tp != t else y
 
 
 # ---------------------------------------------------------------------------
@@ -176,11 +178,13 @@ def int4_matmul_pallas(x, q4, scale, layer=None, interpret: bool = False):
     kh, n = q4.shape[-2:]
     assert kh * 2 == k, (q4.shape, x.shape)
     nt = _n_tile(n, k, 4)
-    mt = _m_tile(t)
+    mt, tp = _m_tile(t)
     wspec, sspec, q4, scale = _w_specs(q4, scale, layer, nt)
-    return pl.pallas_call(
+    if tp != t:
+        x = jnp.pad(x, ((0, tp - t), (0, 0)))
+    y = pl.pallas_call(
         _int4_kernel,
-        grid=(t // mt, n // nt),
+        grid=(tp // mt, n // nt),
         in_specs=[
             pl.BlockSpec((mt, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -189,9 +193,10 @@ def int4_matmul_pallas(x, q4, scale, layer=None, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((mt, nt), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((tp, n), x.dtype),
         interpret=interpret,
     )(x, q4, scale)
+    return y[:t] if tp != t else y
 
 
 # ---------------------------------------------------------------------------

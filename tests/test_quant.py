@@ -199,6 +199,165 @@ class TestQuantBatched:
                                           np.asarray(valid1))
 
 
+class TestConvQuant:
+    """r3: the conv/seanet chain quantizes too (reference policy: quantize
+    everything the consuming op allows, src/loader.h:162-173,206-210).
+    Each quantized path must equal the SAME conv run with explicitly
+    dequantized weights (the quantization error itself is covered by the
+    linear tests — here we verify the layouts/plumbing exactly)."""
+
+    def _deq_conv1d(self, pq, cout, cin, k):
+        from pocket_tts_tpu.ops.quant_matmul import unpack_int4
+        if "qc" in pq:
+            wf = np.asarray(pq["qc"], np.float32)
+        else:
+            wf = np.asarray(unpack_int4(pq["qc4"]))
+        wf = wf * np.asarray(pq["scale"])
+        return jnp.asarray(wf.reshape(k, cin, cout).transpose(2, 1, 0))
+
+    def _deq_convtr(self, pq, cin, cout, k):
+        from pocket_tts_tpu.ops.quant_matmul import unpack_int4
+        if "qt" in pq:
+            w2 = np.asarray(pq["qt"], np.float32)
+        else:
+            w2 = np.asarray(unpack_int4(pq["qt4"]))
+        w2 = w2 * np.asarray(pq["scale"])
+        return jnp.asarray(w2.reshape(cin, k, cout).transpose(0, 2, 1))
+
+    def test_conv1d_quant_matches_dequant(self):
+        from pocket_tts_tpu.ops.conv import conv1d, streaming_conv1d
+        rng = np.random.RandomState(0)
+        cout, cin, k = 256, 128, 3
+        w = rng.randn(cout, cin, k).astype(np.float32) * 0.05
+        b = rng.randn(cout).astype(np.float32) * 0.01
+        x = jnp.asarray(rng.randn(20, cin).astype(np.float32))
+        for bits in (8, 4):
+            pq = quantize_params(
+                {"block_1": {"w": jnp.asarray(w), "b": jnp.asarray(b)}},
+                bits=bits)["block_1"]
+            assert ("qc" in pq) if bits == 8 else ("qc4" in pq)
+            ref = conv1d({"w": self._deq_conv1d(pq, cout, cin, k),
+                          "b": jnp.asarray(b)}, x)
+            got = conv1d(pq, x)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-4)
+            # streaming wrapper derives K from the quantized layout
+            prev = jnp.zeros((k - 1, cin), jnp.float32)
+            _, ys = streaming_conv1d(pq, prev, x)
+            _, yr = streaming_conv1d(
+                {"w": self._deq_conv1d(pq, cout, cin, k),
+                 "b": jnp.asarray(b)}, prev, x)
+            np.testing.assert_allclose(np.asarray(ys), np.asarray(yr),
+                                       atol=1e-4)
+
+    def test_streaming_convtr_quant_matches_dequant(self):
+        from pocket_tts_tpu.ops.conv import (
+            streaming_conv_transpose1d, streaming_conv_transpose1d_blocked)
+        rng = np.random.RandomState(1)
+        cin, cout, s = 128, 64, 6
+        k = 2 * s
+        w = rng.randn(cin, cout, k).astype(np.float32) * 0.05
+        b = rng.randn(cout).astype(np.float32) * 0.01
+        x = jnp.asarray(rng.randn(16, cin).astype(np.float32))
+        for bits in (8, 4):
+            pq = quantize_params(
+                {"model_2": {"w": jnp.asarray(w), "b": jnp.asarray(b)}},
+                bits=bits)["model_2"]
+            assert ("qt" in pq) if bits == 8 else ("qt4" in pq)
+            pref = {"w": self._deq_convtr(pq, cin, cout, k),
+                    "b": jnp.asarray(b)}
+            prev = jnp.zeros((k - s, cout), jnp.float32)
+            _, yq = streaming_conv_transpose1d(pq, prev, x, stride=s)
+            _, yr = streaming_conv_transpose1d(pref, prev, x, stride=s)
+            np.testing.assert_allclose(np.asarray(yq), np.asarray(yr),
+                                       atol=1e-4)
+            prow = jnp.zeros((1, s * cout), jnp.float32)
+            _, ybq = streaming_conv_transpose1d_blocked(pq, prow, x, s)
+            _, ybr = streaming_conv_transpose1d_blocked(pref, prow, x, s)
+            np.testing.assert_allclose(np.asarray(ybq), np.asarray(ybr),
+                                       atol=1e-4)
+
+    def test_quantize_params_conv_policy(self):
+        """Big chain convs quantize; the blocked-time tail and tiny convs
+        stay full precision."""
+        rng = np.random.RandomState(2)
+        tree = {"decoder": {
+            "model_0": {"w": jnp.asarray(rng.randn(128, 128, 7) * 0.1,
+                                         jnp.float32)},
+            "model_2": {"w": jnp.asarray(rng.randn(128, 64, 12) * 0.1,
+                                         jnp.float32)},
+            "model_9": {"block_1": {"w": jnp.asarray(
+                rng.randn(32, 64, 3) * 0.1, jnp.float32)}},
+            "model_11": {"w": jnp.asarray(rng.randn(1, 64, 3) * 0.1,
+                                          jnp.float32)},
+        }}
+        for bits, ck, tk in ((8, "qc", "qt"), (4, "qc4", "qt4")):
+            qt = quantize_params(tree, bits=bits)["decoder"]
+            assert ck in qt["model_0"] and "w" not in qt["model_0"]
+            assert tk in qt["model_2"]
+            assert "w" in qt["model_9"]["block_1"]    # blocked tail: bf16
+            assert "w" in qt["model_11"]
+
+    def test_quantized_conv_engine_close_to_f32(self):
+        """A big-conv model end-to-end: quantized seanet must track the
+        f32 audio loosely (int8 noise) — exercises the full decode chain
+        through the quantized conv paths."""
+        import dataclasses
+        from pocket_tts_tpu.config import (MimiConfig, SeanetConfig,
+                                           SeanetStage,
+                                           MimiTransformerConfig)
+        from pocket_tts_tpu.io.params import random_params
+        cfg0 = tiny_config()
+        # widen seanet past _MIN_CONV_QUANT_SIZE so its convs quantize
+        cfg0 = dataclasses.replace(cfg0, mimi=dataclasses.replace(
+            cfg0.mimi, dim=128,
+            transformer=dataclasses.replace(cfg0.mimi.transformer,
+                                            d_model=128),
+            seanet=SeanetConfig(
+                in_ch=128, stages=(SeanetStage(128, 64, 12, 6),
+                                   SeanetStage(64, 32, 10, 5),
+                                   SeanetStage(32, 16, 8, 4)))))
+        params, cfg = random_params(cfg0, seed=5)
+        pq = quantize_params(params, bits=8)
+        assert "qc" in pq["mimi"]["decoder"]["model_0"]
+        assert "qt" in pq["mimi"]["decoder"]["model_2"]
+        from pocket_tts_tpu.models import tts
+        st0 = tts.init_stream_state(params, cfg)
+        stq = tts.init_stream_state(pq, cfg)
+        _, p0, v0 = tts.jit_decode_sentence(
+            params, cfg, st0, jax.random.PRNGKey(3), jnp.float32(0.0),
+            jnp.int32(2), jnp.int32(10), 12)
+        _, pcmq, vq = tts.jit_decode_sentence(
+            pq, cfg, stq, jax.random.PRNGKey(3), jnp.float32(0.0),
+            jnp.int32(2), jnp.int32(10), 12)
+        p0, pcmq = np.asarray(p0), np.asarray(pcmq)
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(vq))
+        denom = np.abs(p0).max() + 1e-9
+        assert np.abs(pcmq - p0).max() / denom < 0.2
+
+    def test_pallas_row_padding(self):
+        """Row counts that don't tile (the quantized convs feed e.g. 482
+        rows) pad up to the tile and slice back."""
+        from pocket_tts_tpu.ops.quant_matmul import (int8_matmul_pallas,
+                                                     int4_matmul_pallas,
+                                                     pack_int4)
+        rng = np.random.RandomState(6)
+        t, k, n = 300, 128, 256
+        x = jnp.asarray(rng.randn(t, k).astype(np.float32))
+        q = rng.randint(-127, 128, (k, n), dtype=np.int8)
+        s = rng.rand(n).astype(np.float32) * 0.01
+        ref = (np.asarray(x) @ q.astype(np.float32)) * s
+        y = int8_matmul_pallas(x, jnp.asarray(q), jnp.asarray(s),
+                               interpret=True)
+        assert y.shape == (t, n)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+        qi = rng.randint(-8, 8, (k, n))
+        ref4 = (np.asarray(x) @ qi.astype(np.float32)) * s
+        y4 = int4_matmul_pallas(x, jnp.asarray(pack_int4(qi)),
+                                jnp.asarray(s), interpret=True)
+        np.testing.assert_allclose(np.asarray(y4), ref4, atol=1e-4)
+
+
 class TestQuantizedKV:
     def _decode(self, cfg, frames=12):
         from pocket_tts_tpu.models import backbone, mimi, tts
