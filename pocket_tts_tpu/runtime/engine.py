@@ -53,7 +53,7 @@ class TTSEngine:
                  cfg: Optional[ModelConfig] = None,
                  dtype=jnp.float32, seed: int = 0,
                  tokenizer=None, quantize: Optional[str] = None,
-                 quantize_kv: bool = False,
+                 quantize_kv: bool = False, quantize_convs: bool = False,
                  allow_mock_tokenizer: bool = False):
         """Load weights (ptts_init analog, src/pocket_tts.cpp:273-322).
 
@@ -82,7 +82,7 @@ class TTSEngine:
                 raise ValueError(f"unknown quantization: {quantize}")
             from ..io.quant import quantize_params
             params = quantize_params(params, bits=4 if "4" in quantize
-                                     else 8)
+                                     else 8, convs=quantize_convs)
         if quantize_kv:
             import dataclasses
             cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(

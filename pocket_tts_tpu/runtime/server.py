@@ -43,6 +43,14 @@ class Request:
     done_at: Optional[float] = None
     pcm: Optional[np.ndarray] = None
     chunks: Optional[List[np.ndarray]] = None
+    # step-counter bookkeeping (ContinuousBatchingServer): wall clocks
+    # through this environment's TPU tunnel are transport noise, so TTFA is
+    # also recorded in SCHEDULING units — decode chunks waited before
+    # admission and until first audio — which bench.py converts to device
+    # time using per-chunk device traces.
+    submit_step: Optional[int] = None
+    admit_step: Optional[int] = None
+    first_audio_step: Optional[int] = None
 
     @property
     def latency_s(self):
@@ -226,6 +234,7 @@ class ContinuousBatchingServer:
         self._live: List[Optional[Request]] = [None] * lanes
         self._chunks: List[List[np.ndarray]] = [[] for _ in range(lanes)]
         self.completed: List[Request] = []
+        self.steps = 0  # decode chunks executed (scheduling clock)
         self.batch: Optional[tts.StreamState] = None
         eng = engine
         self._rngs = np.zeros((lanes, 2), np.uint32)
@@ -260,7 +269,8 @@ class ContinuousBatchingServer:
     def submit(self, text: str, voice: str, temp: float = 0.6,
                rng=None) -> Request:
         req = Request(text=text, voice=voice, temp=temp,
-                      submitted_at=time.perf_counter())
+                      submitted_at=time.perf_counter(),
+                      submit_step=self.steps)
         req._rng = rng  # optional explicit PRNG key (determinism tests)
         self._queue.append(req)
         return req
@@ -330,6 +340,7 @@ class ContinuousBatchingServer:
             self._max_steps[lane] = max_steps
             self._live[lane] = req
             self._chunks[lane] = []
+            req.admit_step = self.steps
 
     def step(self) -> int:
         """One admission + one decode chunk. Returns frames emitted."""
@@ -345,6 +356,7 @@ class ContinuousBatchingServer:
         valid = np.asarray(valid)
         done = np.asarray(self.batch.done)
         now = time.perf_counter()
+        self.steps += 1
         emitted = 0
         for lane, req in enumerate(self._live):
             if req is None:
@@ -353,6 +365,7 @@ class ContinuousBatchingServer:
             if nv > 0:
                 if req.ttfa_s is None:
                     req.ttfa_s = now - req.submitted_at
+                    req.first_audio_step = self.steps
                 self._chunks[lane].append(pcm[lane, valid[lane]].reshape(-1))
                 emitted += nv
             if bool(done[lane]):

@@ -55,13 +55,18 @@ def decode_frame_costs(params, cfg, kv_slots: int) -> Tuple[float, float]:
     mt = cfg.mimi.transformer
 
     # ---- bytes: every decode-path weight is read once per frame ----------
+    # _tree_bytes counts ACTUAL leaf dtypes, so a quantized pytree (int8 q /
+    # packed int4 q4 / conv qc/qt) yields the honest quantized stream
     weight_bytes = _tree_bytes(params)
     # the token embedding table is prefill-only
     weight_bytes -= _tree_bytes(params["conditioner"])
-    # KV cache reads: backbone (kv_slots x d_model) k+v per layer, plus the
-    # mimi ring (capacity x d_model) k+v per layer once per frame
+    # KV cache reads: backbone (kv_slots x d_model) k+v per layer (int8
+    # rows + f32 scales when cfg.backbone.quantize_kv), plus the mimi ring
+    # (capacity x d_model) k+v per layer once per frame
+    kv_item = 1 if cfg.backbone.quantize_kv else itemsize
     kv_bytes = (cfg.backbone.num_layers * 2 * kv_slots
-                * cfg.backbone.d_model * itemsize)
+                * (cfg.backbone.d_model * kv_item
+                   + (4 if cfg.backbone.quantize_kv else 0)))
     kv_bytes += mt.num_layers * 2 * mt.capacity * mt.d_model * itemsize
     bytes_total = float(weight_bytes + kv_bytes)
 

@@ -234,7 +234,7 @@ class TestConvQuant:
         for bits in (8, 4):
             pq = quantize_params(
                 {"block_1": {"w": jnp.asarray(w), "b": jnp.asarray(b)}},
-                bits=bits)["block_1"]
+                bits=bits, convs=True)["block_1"]
             assert ("qc" in pq) if bits == 8 else ("qc4" in pq)
             ref = conv1d({"w": self._deq_conv1d(pq, cout, cin, k),
                           "b": jnp.asarray(b)}, x)
@@ -262,7 +262,7 @@ class TestConvQuant:
         for bits in (8, 4):
             pq = quantize_params(
                 {"model_2": {"w": jnp.asarray(w), "b": jnp.asarray(b)}},
-                bits=bits)["model_2"]
+                bits=bits, convs=True)["model_2"]
             assert ("qt" in pq) if bits == 8 else ("qt4" in pq)
             pref = {"w": self._deq_convtr(pq, cin, cout, k),
                     "b": jnp.asarray(b)}
@@ -292,7 +292,7 @@ class TestConvQuant:
                                           jnp.float32)},
         }}
         for bits, ck, tk in ((8, "qc", "qt"), (4, "qc4", "qt4")):
-            qt = quantize_params(tree, bits=bits)["decoder"]
+            qt = quantize_params(tree, bits=bits, convs=True)["decoder"]
             assert ck in qt["model_0"] and "w" not in qt["model_0"]
             assert tk in qt["model_2"]
             assert "w" in qt["model_9"]["block_1"]    # blocked tail: bf16
@@ -318,7 +318,7 @@ class TestConvQuant:
                                    SeanetStage(64, 32, 10, 5),
                                    SeanetStage(32, 16, 8, 4)))))
         params, cfg = random_params(cfg0, seed=5)
-        pq = quantize_params(params, bits=8)
+        pq = quantize_params(params, bits=8, convs=True)
         assert "qc" in pq["mimi"]["decoder"]["model_0"]
         assert "qt" in pq["mimi"]["decoder"]["model_2"]
         from pocket_tts_tpu.models import tts
