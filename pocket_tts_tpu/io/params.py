@@ -123,6 +123,18 @@ def params_from_flat(flat: Dict[str, np.ndarray],
     mimi_dim = flat["mimi.quantizer.output_proj.weight"].shape[0]
     mimi_hidden = flat[
         "mimi.decoder_transformer.transformer.layers.0.linear1.weight"].shape[0]
+    # seanet topology from the conv weight shapes (the reference reads the
+    # same dims out of its ggml tensors; head counts stay config-fixed like
+    # the reference's config.h): convtr weights are (Cin, Cout, K), K==2s
+    from ..config import SeanetStage
+    w0 = flat["mimi.decoder.model.0.conv.weight"]        # (C, C, k7)
+    stages = []
+    for m in (2, 5, 8):
+        wt = flat[f"mimi.decoder.model.{m}.convtr.weight"]
+        stages.append(SeanetStage(int(wt.shape[0]), int(wt.shape[1]),
+                                  int(wt.shape[2]), int(wt.shape[2]) // 2))
+    up_k = int(flat["mimi.upsample.convtr.convtr.weight"].shape[2])
+    n_bins, lut_dim = flat["flow_lm.conditioner.embed.weight"].shape
 
     cfg = dataclasses.replace(
         cfg,
@@ -132,11 +144,22 @@ def params_from_flat(flat: Dict[str, np.ndarray],
         backbone=dataclasses.replace(
             cfg.backbone, d_model=d_model, num_layers=bb_layers,
             hidden_scale=hidden // d_model),
+        lut=dataclasses.replace(cfg.lut, n_bins=int(n_bins),
+                                dim=int(lut_dim)),
         mimi=dataclasses.replace(
-            cfg.mimi, dim=mimi_dim,
+            cfg.mimi, dim=mimi_dim, latent_dim=latent,
+            upsample_kernel=up_k, upsample_stride=up_k // 2,
             transformer=dataclasses.replace(
                 cfg.mimi.transformer, d_model=mimi_dim,
-                num_layers=mimi_layers, hidden_dim=mimi_hidden)),
+                num_layers=mimi_layers, hidden_dim=mimi_hidden),
+            seanet=dataclasses.replace(
+                cfg.mimi.seanet, in_ch=int(w0.shape[0]),
+                first_kernel=int(w0.shape[2]), stages=tuple(stages),
+                resnet_kernel=int(
+                    flat["mimi.decoder.model.3.block.1.conv.weight"
+                         ].shape[2]),
+                last_kernel=int(
+                    flat["mimi.decoder.model.11.conv.weight"].shape[2]))),
     )
 
     # --- flow_lm -----------------------------------------------------------
