@@ -81,7 +81,15 @@ def _layer(p, x, k_cache, v_cache, offset, start, cos, sin, bias, cfg,
     x = x + p["layer_scale_1"]["scale"] * linear(
         p["out_proj"], attn.reshape(t, dm))
     h = layer_norm(p["norm2"], x, eps=cfg.norm_eps)
-    up = linear(p["linear2"], gelu(linear(p["linear1"], h), gelu_approx))
+    if "gating" in p:
+        # SwiGLU gating replaces the linear1/gelu/linear2 MLP when the
+        # checkpoint ships gating weights (dead in the shipped pocket-tts
+        # models — defaults.h gating={} — but the reference carries the
+        # path: moshi_transformer_layer via gating.h:16-38)
+        from ..ops.gating import weights_per_step_gating
+        up = weights_per_step_gating(p["gating"], h, offset=offset)
+    else:
+        up = linear(p["linear2"], gelu(linear(p["linear1"], h), gelu_approx))
     x = x + p["layer_scale_2"]["scale"] * up
     return x, k_cache, v_cache
 

@@ -217,9 +217,14 @@ class ContinuousBatchingServer:
     longer pays (B-1)/B waste and a late request no longer waits a cohort).
     """
 
-    def __init__(self, engine: TTSEngine, lanes: int = 8,
+    def __init__(self, engine: TTSEngine, lanes: int = 32,
                  capacity: Optional[int] = None, chunk_frames: int = 5,
                  text_bucket: int = 64, mesh=None):
+        # lanes=32 from BENCH r3: aggregate serving throughput still rises
+        # through B=32 (27.5k bf16 / 38.3k int4+int8KV) to B=64 (40.1k) and
+        # p50 TTFA at 32 lanes stays ~6 ms device-time; 8 lanes left ~4x
+        # weight-stream amortization on the table. Lower it for
+        # latency-critical, lightly-loaded deployments.
         self.engine = engine
         self.lanes = lanes
         self.capacity = capacity or engine.cfg.backbone.kv_capacity
