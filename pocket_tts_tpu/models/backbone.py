@@ -86,8 +86,19 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
     flash-decode kernel that only reads the live cache prefix (T==1 only).
     """
     t, dm = x.shape
-    h = layer_norm(p["norm1"], x, eps=1e-5)
-    qkv = linear(p["in_proj"], h)                       # (T, 3*dm)
+    fused = False
+    if pallas_mode != "off" and t == 1:
+        from ..ops import fused_layer
+        fused = fused_layer.supported(p)
+    if fused:
+        # norm1 + in_proj in one Pallas call (quantized decode path): the
+        # per-frame cost at batch is dominated by small-op dispatch, not
+        # bytes — see ops/fused_layer.py
+        qkv = fused_layer.pre_attention(
+            p, x, interpret=(pallas_mode == "interpret"))
+    else:
+        h = layer_norm(p["norm1"], x, eps=1e-5)
+        qkv = linear(p["in_proj"], h)                   # (T, 3*dm)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(t, num_heads, dm // num_heads)
     k = k.reshape(t, num_heads, dm // num_heads)
@@ -142,9 +153,16 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
                         k_deq.reshape(s_cap, num_heads, dm // num_heads),
                         v_deq.reshape(s_cap, num_heads, dm // num_heads),
                         bias)
-    x = x + linear(p["out_proj"], attn.reshape(t, dm))
-    h = layer_norm(p["norm2"], x, eps=1e-5)
-    x = x + linear(p["linear2"], gelu(linear(p["linear1"], h), gelu_approx))
+    if fused:
+        # out_proj + residual + norm2 + MLP + residual in one Pallas call
+        x = fused_layer.post_attention(
+            p, x, attn.reshape(t, dm), approx=gelu_approx,
+            interpret=(pallas_mode == "interpret"))
+    else:
+        x = x + linear(p["out_proj"], attn.reshape(t, dm))
+        h = layer_norm(p["norm2"], x, eps=1e-5)
+        x = x + linear(p["linear2"],
+                       gelu(linear(p["linear1"], h), gelu_approx))
     return x, k_cache, v_cache, k_scale, v_scale
 
 

@@ -1,0 +1,383 @@
+"""Fused backbone-layer Pallas kernels for the quantized decode path.
+
+BENCH r3 attribution (B=32 serving, v5e): the per-frame cost outside the
+attention kernels is dominated by ~24 small quantized-matmul dispatches at
+~5.3 us each — 3x their bandwidth floor — plus the norm/residual fusions
+between them. These kernels collapse each backbone layer's XLA op chain
+into TWO Pallas calls around the flash-decode attention:
+
+  pre:   qkv = layer_norm(x) @ W_in + b            (norm1 + in_proj)
+  post:  x1  = x + attn @ W_out + b_out            (out_proj + residual)
+         out = x1 + W2 @ gelu(W1 @ norm(x1) + b1) + b2   (norm2 + MLP)
+
+Weights stay in their stacked quantized layouts ((L, K, N) int8 or packed
+int4 halves, per-output-channel scales — io/quant.py) and are read in
+place via BlockSpec index_map at a static layer index, like
+ops/quant_matmul. The MLP streams its weights in hidden-dim tiles; for
+int4 the packed-halves layout means one packed W2 row-block carries TWO
+hidden index sets (r and r + H/2), so each grid step processes that PAIR
+of hidden tiles — W1 is passed twice with column-offset index maps to
+feed both.
+
+Decode-path only (T == 1 per stream; the batch collapses to rows via the
+same custom_vmap trick as quant_matmul). Norms and gelu run in f32 (v5e
+has no bf16 ALU); both MXU passes are bf16 x f32-accumulate, matching the
+unfused path's numerics to rounding.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .quant_matmul import _unpack_nibbles_f32
+
+
+def _ln_f32(x_ref, scale_ref, bias_ref, eps):
+    x32 = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    return y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(
+        jnp.float32)
+
+
+def _deq_dot(x_bf16, w_ref, s_ref, bits):
+    """x (T, K) bf16 @ dequant(w block) * scale -> (T, nt) f32."""
+    w = w_ref[0] if w_ref.ndim == 3 else w_ref[...]
+    s = s_ref[0] if s_ref.ndim == 3 else s_ref[...]
+    if bits == 4:
+        lo, hi = _unpack_nibbles_f32(w, x_bf16.dtype)
+        kh = w.shape[0]
+        acc = jax.lax.dot_general(
+            x_bf16[:, :kh], lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            x_bf16[:, kh:], hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        acc = jax.lax.dot_general(
+            x_bf16, w.astype(x_bf16.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return acc * s.astype(jnp.float32)
+
+
+def _erf_f32(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max error 1.5e-7 — far below
+    bf16 output rounding). Mosaic has no erf primitive (exp only)."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_f32(h, approx: bool):
+    if approx:
+        c = 0.7978845608028654  # sqrt(2/pi)
+        return 0.5 * h * (1.0 + jnp.tanh(c * (h + 0.044715 * h * h * h)))
+    return 0.5 * h * (1.0 + _erf_f32(h * 0.7071067811865476))
+
+
+# ---------------------------------------------------------------------------
+# pre-attention: qkv = layer_norm(x) @ W_in + b
+# ---------------------------------------------------------------------------
+
+def _pre_kernel(x_ref, ns_ref, nb_ref, w_ref, s_ref, b_ref, o_ref, ln_s,
+                *, bits, eps):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        ln_s[...] = _ln_f32(x_ref, ns_ref, nb_ref, eps).astype(ln_s.dtype)
+
+    acc = _deq_dot(ln_s[...], w_ref, s_ref, bits)
+    b = b_ref[0] if b_ref.ndim == 3 else b_ref[...]
+    o_ref[...] = (acc + b.astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _pre_call(x, norm_scale, norm_bias, w, scale, bias, layer, bits,
+              eps, interpret):
+    t, dm = x.shape
+    n = w.shape[-1]
+    kp = w.shape[-2]                      # packed K rows (K or K/2)
+
+    # output tile: the dequant temporaries (2 x (kp, nt) f32 unpack for
+    # int4; a (kp, nt) bf16 cast for int8) cap the usable VMEM
+    def vmem(nt):
+        return kp * nt * (1 + (8 if bits == 4 else 2))
+
+    nt = n
+    while nt > 128 and (n % nt or vmem(nt) > 6 * 2**20):
+        nt //= 2
+    stacked = w.ndim == 3
+    lidx = 0 if not stacked else layer
+
+    def wmap(j, l=lidx):
+        return (l, 0, j) if stacked else (0, j)
+
+    wspec = pl.BlockSpec(((1,) if stacked else ()) + (kp, nt), wmap,
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(((1,) if stacked else ()) + (1, nt), wmap,
+                         memory_space=pltpu.VMEM)
+    scale2 = (scale.reshape(-1, 1, n) if stacked
+              else scale.reshape(1, n)).astype(jnp.float32)
+    bias2 = (bias.reshape(-1, 1, n) if stacked
+             else bias.reshape(1, n))
+    row = pl.BlockSpec((1, dm), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_pre_kernel, bits=bits, eps=eps),
+        grid=(n // nt,),
+        in_specs=[
+            pl.BlockSpec((t, dm), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row, row, wspec, sspec, sspec,
+        ],
+        out_specs=pl.BlockSpec((t, nt), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((t, dm), x.dtype)],
+        interpret=interpret,
+    )(x, norm_scale.reshape(1, dm), norm_bias.reshape(1, dm), w, scale2,
+      bias2)
+
+
+# ---------------------------------------------------------------------------
+# post-attention: out_proj + residual + norm2 + MLP + residual
+# ---------------------------------------------------------------------------
+
+def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ns_ref, nb_ref,
+                 w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref, b1b_ref,
+                 w2_ref, s2_ref, b2_ref, o_ref, x1_s, ln_s, acc_s,
+                 *, bits, eps, approx, nsteps):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        x1 = x_ref[...].astype(jnp.float32)
+        x1 = x1 + _deq_dot(at_ref[...], wo_ref, so_ref, bits)
+        bo = bo_ref[0] if bo_ref.ndim == 3 else bo_ref[...]
+        x1 = x1 + bo.astype(jnp.float32)
+        x1_s[...] = x1
+        x32 = x1
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        ln = xc * jax.lax.rsqrt(var + eps)
+        ln = (ln * ns_ref[...].astype(jnp.float32)
+              + nb_ref[...].astype(jnp.float32))
+        ln_s[...] = ln.astype(ln_s.dtype)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    ln = ln_s[...]
+    for w1_ref, s1_ref, b1_ref, half in ((w1a_ref, s1a_ref, b1a_ref, 0),
+                                         (w1b_ref, s1b_ref, b1b_ref, 1)):
+        if w1_ref is None:
+            continue
+        h = _deq_dot(ln, w1_ref, s1_ref, bits)
+        b1 = b1_ref[0] if b1_ref.ndim == 3 else b1_ref[...]
+        h = _gelu_f32(h + b1.astype(jnp.float32), approx)
+        if bits == 4:
+            # packed W2 block: lo nibbles hold hidden rows of the LOW half
+            # (this j-tile), hi nibbles the HIGH half (j-tile + H/2)
+            lo, hi = _unpack_nibbles_f32(
+                w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...], ln.dtype)
+            w2h = lo if half == 0 else hi
+        else:
+            w2 = w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...]
+            w2h = w2.astype(ln.dtype)
+        acc_s[...] += jax.lax.dot_general(
+            h.astype(ln.dtype), w2h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(j == nsteps - 1)
+    def _():
+        s2 = (s2_ref[0] if s2_ref.ndim == 3
+              else s2_ref[...]).astype(jnp.float32)
+        b2 = b2_ref[0] if b2_ref.ndim == 3 else b2_ref[...]
+        o_ref[...] = (x1_s[...] + acc_s[...] * s2
+                      + b2.astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _post_call(x, attn, wo, so, bo, norm_scale, norm_bias, w1, s1, b1,
+               w2, s2, b2, layer, bits, eps, approx, interpret):
+    t, dm = x.shape
+    hidden = w1.shape[-1]
+    stacked = w1.ndim == 3
+    lidx = layer if stacked else 0
+    kp2 = w2.shape[-2]                    # packed hidden rows (H or H/2)
+    # hidden tile: per grid step the int4 path touches a (kp1, nt) W1 tile
+    # x2 (lo/hi hidden) and a (nt, dm) packed W2 tile + their f32 unpacks
+    nt = 512
+    span = hidden // 2 if bits == 4 else hidden
+    while span % nt:
+        nt //= 2
+    nsteps = span // nt
+    kp1 = w1.shape[-2]
+
+    pre = (1,) if stacked else ()
+
+    def wmap1a(j, l=lidx):
+        return (l, 0, j) if stacked else (0, j)
+
+    off_b = span // nt if bits == 4 else 0
+
+    def wmap1b(j, l=lidx, o=off_b):
+        return (l, 0, j + o) if stacked else (0, j + o)
+
+    def wmap2(j, l=lidx):
+        return (l, j, 0) if stacked else (j, 0)
+
+    def cmap(j, l=lidx):
+        return (l, 0, 0) if stacked else (0, 0)
+
+    w1spec = pl.BlockSpec(pre + (kp1, nt), wmap1a, memory_space=pltpu.VMEM)
+    w1bspec = pl.BlockSpec(pre + (kp1, nt), wmap1b, memory_space=pltpu.VMEM)
+    s1spec = pl.BlockSpec(pre + (1, nt), wmap1a, memory_space=pltpu.VMEM)
+    s1bspec = pl.BlockSpec(pre + (1, nt), wmap1b, memory_space=pltpu.VMEM)
+    w2spec = pl.BlockSpec(pre + (nt, dm), wmap2, memory_space=pltpu.VMEM)
+    dmspec = pl.BlockSpec(pre + (1, dm), cmap, memory_space=pltpu.VMEM)
+    wospec = pl.BlockSpec(pre + (wo.shape[-2], dm), cmap,
+                          memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, dm), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((t, dm), lambda j: (0, 0), memory_space=pltpu.VMEM)
+
+    def r2(a, n):
+        return (a.reshape(-1, 1, n) if stacked else a.reshape(1, n))
+
+    operands = [x, attn, wo, r2(so.astype(jnp.float32), dm), r2(bo, dm),
+                norm_scale.reshape(1, dm), norm_bias.reshape(1, dm),
+                w1, r2(s1.astype(jnp.float32), hidden), r2(b1, hidden),
+                w1, r2(s1.astype(jnp.float32), hidden), r2(b1, hidden),
+                w2, r2(s2.astype(jnp.float32), dm), r2(b2, dm)]
+    in_specs = [xspec, xspec, wospec, dmspec, dmspec, row, row,
+                w1spec, s1spec, s1spec, w1bspec, s1bspec, s1bspec,
+                w2spec, dmspec, dmspec]
+    if bits != 4:
+        # int8: one hidden tile per step — drop the second W1 pass
+        kernel = functools.partial(_post_kernel, bits=bits, eps=eps,
+                                   approx=approx, nsteps=nsteps)
+        kernel = _drop_b(kernel)
+        operands = operands[:10] + operands[13:]
+        in_specs = in_specs[:10] + in_specs[13:]
+    else:
+        kernel = functools.partial(_post_kernel, bits=bits, eps=eps,
+                                   approx=approx, nsteps=nsteps)
+    return pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((t, dm), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, dm), x.dtype),
+        scratch_shapes=[pltpu.VMEM((t, dm), jnp.float32),
+                        pltpu.VMEM((t, dm), x.dtype),
+                        pltpu.VMEM((t, dm), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+
+
+def _drop_b(kernel):
+    def wrapped(x_ref, at_ref, wo_ref, so_ref, bo_ref, ns_ref, nb_ref,
+                w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, o_ref,
+                x1_s, ln_s, acc_s):
+        return kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ns_ref, nb_ref,
+                      w1_ref, s1_ref, b1_ref, None, None, None,
+                      w2_ref, s2_ref, b2_ref, o_ref, x1_s, ln_s, acc_s)
+    return wrapped
+
+
+# ---------------------------------------------------------------------------
+# dispatch (custom vmap: batch collapses to rows, like quant_matmul)
+# ---------------------------------------------------------------------------
+
+def _qw(p):
+    """(w, scale, bias, bits) from a quantized linear param dict."""
+    if "q" in p:
+        return p["q"], p["scale"], p.get("b"), 8
+    if "q4" in p:
+        return p["q4"], p["scale"], p.get("b"), 4
+    return None, None, None, 0
+
+
+def _zeros_like_bias(w, stacked, n):
+    shape = (w.shape[0], n) if stacked else (n,)
+    return jnp.zeros(shape, jnp.bfloat16)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pre(layer, bits, eps, interpret):
+    @jax.custom_batching.custom_vmap
+    def fn(x, ns, nb, w, s, b):
+        return _pre_call(x, ns, nb, w, s, b, layer, bits, eps, interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, x, ns, nb, w, s, b):
+        assert in_batched[0] and not any(in_batched[1:]), in_batched
+        t = x.shape[1]
+        y = fn(x.reshape(axis_size * t, -1), ns, nb, w, s, b)
+        return y.reshape(axis_size, t, -1), True
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _make_post(layer, bits, eps, approx, interpret):
+    @jax.custom_batching.custom_vmap
+    def fn(x, attn, wo, so, bo, ns, nb, w1, s1, b1, w2, s2, b2):
+        return _post_call(x, attn, wo, so, bo, ns, nb, w1, s1, b1,
+                          w2, s2, b2, layer, bits, eps, approx, interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, x, attn, wo, so, bo, ns, nb,
+              w1, s1, b1, w2, s2, b2):
+        assert in_batched[0] and in_batched[1], in_batched
+        assert not any(in_batched[2:]), in_batched
+        t = x.shape[1]
+        y = fn(x.reshape(axis_size * t, -1), attn.reshape(axis_size * t, -1),
+               wo, so, bo, ns, nb, w1, s1, b1, w2, s2, b2)
+        return y.reshape(axis_size, t, -1), True
+
+    return fn
+
+
+def supported(p) -> bool:
+    """True when every linear of the layer carries the same quantization."""
+    bits = {_qw(p[k])[3] for k in ("in_proj", "out_proj", "linear1",
+                                   "linear2")}
+    return len(bits) == 1 and bits != {0}
+
+
+def pre_attention(p, x, eps: float = 1e-5, interpret: bool = False):
+    """qkv = layer_norm(x; p['norm1']) @ dequant(p['in_proj']). x: (T, dm)."""
+    w, s, b, bits = _qw(p["in_proj"])
+    stacked = w.ndim == 3
+    if b is None:
+        b = _zeros_like_bias(w, stacked, w.shape[-1])
+    layer = p["in_proj"].get("_layer", 0)
+    return _make_pre(layer, bits, eps, interpret)(
+        x, p["norm1"]["scale"], p["norm1"]["bias"], w, s, b)
+
+
+def post_attention(p, x, attn, eps: float = 1e-5, approx: bool = False,
+                   interpret: bool = False):
+    """x + out_proj(attn) -> +MLP(norm2). x/attn: (T, dm)."""
+    wo, so, bo, bits = _qw(p["out_proj"])
+    w1, s1, b1, _ = _qw(p["linear1"])
+    w2, s2, b2, _ = _qw(p["linear2"])
+    stacked = wo.ndim == 3
+    if bo is None:
+        bo = _zeros_like_bias(wo, stacked, wo.shape[-1])
+    if b1 is None:
+        b1 = _zeros_like_bias(w1, stacked, w1.shape[-1])
+    if b2 is None:
+        b2 = _zeros_like_bias(w2, stacked, w2.shape[-1])
+    layer = p["out_proj"].get("_layer", 0)
+    return _make_post(layer, bits, eps, approx, interpret)(
+        x, attn, wo, so, bo, p["norm2"]["scale"], p["norm2"]["bias"],
+        w1, s1, b1, w2, s2, b2)

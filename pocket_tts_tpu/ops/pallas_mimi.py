@@ -152,7 +152,15 @@ def _make_ring_attention(num_heads: int, context: int, interpret: bool):
         bsz, t, hd = q.shape
         cap = k_cache.shape[1]
         assert cap % t == 0, (cap, t)
-        group = 4 if bsz % 4 == 0 else (2 if bsz % 2 == 0 else 1)
+        # streams per grid step: each step's serial cost is DMA of the
+        # (group, cap, hd) cache blocks + ~1 us sequencing; fewer/bigger
+        # steps win until the double-buffered blocks threaten VMEM
+        # (2 caches x 2 buffers x group x cap x hd x 2B <= 8 MB)
+        group = 1
+        for cand in (8, 4, 2):
+            if bsz % cand == 0 and cand * cap * hd * 2 * 2 * 2 <= 8 * 2**20:
+                group = cand
+                break
         kernel = functools.partial(
             _kernel, t=t, num_heads=h, head_dim=hd // h, context=context,
             group=group)

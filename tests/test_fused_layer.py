@@ -1,0 +1,105 @@
+"""Fused backbone-layer kernels (interpret mode) vs the unfused quantized
+ops — same math, ~10 XLA dispatches per layer collapsed into 2 Pallas
+calls (ops/fused_layer.py)."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pocket_tts_tpu.config import tiny_config
+from pocket_tts_tpu.io.params import params_from_flat, random_flat
+from pocket_tts_tpu.io.quant import quantize_params
+from pocket_tts_tpu.ops import fused_layer
+from pocket_tts_tpu.ops.basic import (gelu, layer_norm, linear,
+                                      slice_layer_params)
+
+# seed_dims=32 -> d_model 128: wide enough that every backbone linear is
+# quantize-eligible (the default tiny config's 64-wide out_proj/linear2
+# fall under the stacked-weight N >= 128 rule and stay bf16)
+CFG0 = tiny_config(32)
+FLAT = random_flat(CFG0, seed=33)
+PARAMS, CFG = params_from_flat(FLAT, CFG0)
+
+
+def _layer_params(bits, l=1):
+    pq = quantize_params(PARAMS, bits=bits)
+    return slice_layer_params(pq["layers"], l)
+
+
+def _unfused_pre(p, x):
+    return linear(p["in_proj"], layer_norm(p["norm1"], x, eps=1e-5))
+
+
+def _unfused_post(p, x, attn, approx=False):
+    x = x + linear(p["out_proj"], attn)
+    h = layer_norm(p["norm2"], x, eps=1e-5)
+    return x + linear(p["linear2"], gelu(linear(p["linear1"], h), approx))
+
+
+class TestFusedLayer:
+    def test_supported_detection(self):
+        assert not fused_layer.supported(
+            slice_layer_params(PARAMS["layers"], 0))
+        for bits in (8, 4):
+            assert fused_layer.supported(_layer_params(bits))
+
+    def test_pre_attention_matches_unfused(self):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(1, CFG.backbone.d_model)
+                        .astype(np.float32) * 0.3)
+        for bits in (8, 4):
+            p = _layer_params(bits)
+            want = _unfused_pre(p, x)
+            got = fused_layer.pre_attention(p, x, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-4)
+
+    def test_post_attention_matches_unfused(self):
+        rng = np.random.RandomState(1)
+        dm = CFG.backbone.d_model
+        x = jnp.asarray(rng.randn(1, dm).astype(np.float32) * 0.3)
+        attn = jnp.asarray(rng.randn(1, dm).astype(np.float32) * 0.3)
+        for bits in (8, 4):
+            for approx in (False, True):
+                p = _layer_params(bits)
+                want = _unfused_post(p, x, attn, approx)
+                got = fused_layer.post_attention(p, x, attn, approx=approx,
+                                                 interpret=True)
+                np.testing.assert_allclose(np.asarray(got),
+                                           np.asarray(want), atol=1e-4,
+                                           err_msg=f"bits={bits}")
+
+    def test_batched_rows_collapse(self):
+        """vmap over streams == per-stream results (rows are independent,
+        weights stream once)."""
+        rng = np.random.RandomState(2)
+        dm = CFG.backbone.d_model
+        xs = jnp.asarray(rng.randn(5, 1, dm).astype(np.float32) * 0.3)
+        ats = jnp.asarray(rng.randn(5, 1, dm).astype(np.float32) * 0.3)
+        p = _layer_params(4)
+        got = jax.vmap(lambda x, a: fused_layer.post_attention(
+            p, x, a, interpret=True))(xs, ats)
+        want = np.stack([np.asarray(fused_layer.post_attention(
+            p, xs[i], ats[i], interpret=True)) for i in range(5)])
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_full_decode_step_fused_vs_xla(self):
+        """backbone.forward T=1 with use_pallas_attn (interpret; routes the
+        fused layer kernels) == the XLA quantized path."""
+        from pocket_tts_tpu.models import backbone
+        rng = np.random.RandomState(3)
+        for bits in (8, 4):
+            pq = quantize_params(PARAMS, bits=bits)
+            cfg_x = dataclasses.replace(CFG.backbone, use_pallas_attn=False)
+            cfg_p = dataclasses.replace(CFG.backbone, use_pallas_attn=True)
+            x = rng.randn(10, CFG.backbone.d_model).astype(np.float32) * 0.3
+            s = backbone.init_state(cfg_x)
+            s, _ = backbone.forward(pq, cfg_x, s, jnp.array(x))
+            s = backbone.advance(s, 10, 10)
+            step = rng.randn(1, CFG.backbone.d_model).astype(
+                np.float32) * 0.3
+            _, y_x = backbone.forward(pq, cfg_x, s, jnp.array(step))
+            _, y_p = backbone.forward(pq, cfg_p, s, jnp.array(step))
+            np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                                       atol=2e-4, err_msg=f"bits={bits}")
