@@ -354,6 +354,11 @@ def main():
         "p50_ttfa_ms": round(pct(ttfa_dev, 0.50), 2),
         "p95_ttfa_ms": round(pct(ttfa_dev, 0.95), 2),
         "serving_requests": len(done),
+        "serving_chunks": len(chunk_ms),
+        "serving_chunk_ms": round(float(cms), 3),
+        "serving_prefill_ms": round(float(pms), 3),
+        "serving_decode_frac": round(sum(chunk_ms) / total_ms, 3)
+        if total_ms else None,
         "hbm_bw_util": round(hbm_bw_util, 3),
         "mfu": round(mfu, 4),
         "hbm_bw_util_batch32": round(bw_util_batch, 3),

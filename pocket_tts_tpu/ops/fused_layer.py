@@ -175,22 +175,22 @@ def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ns_ref, nb_ref,
         acc_s[...] = jnp.zeros_like(acc_s)
 
     ln = ln_s[...]
-    for w1_ref, s1_ref, b1_ref, half in ((w1a_ref, s1a_ref, b1a_ref, 0),
-                                         (w1b_ref, s1b_ref, b1b_ref, 1)):
-        if w1_ref is None:
-            continue
+    if bits == 4:
+        # packed W2 block: lo nibbles hold hidden rows of the LOW half
+        # (this j-tile), hi nibbles the HIGH half (j-tile + H/2) —
+        # unpacked ONCE per step (the nibble unpack is VPU-bound and was
+        # ~1/3 of this kernel's time when done per half)
+        w2lo, w2hi = _unpack_nibbles_f32(
+            w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...], ln.dtype)
+        halves = ((w1a_ref, s1a_ref, b1a_ref, w2lo),
+                  (w1b_ref, s1b_ref, b1b_ref, w2hi))
+    else:
+        w2 = w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...]
+        halves = ((w1a_ref, s1a_ref, b1a_ref, w2.astype(ln.dtype)),)
+    for w1_ref, s1_ref, b1_ref, w2h in halves:
         h = _deq_dot(ln, w1_ref, s1_ref, bits)
         b1 = b1_ref[0] if b1_ref.ndim == 3 else b1_ref[...]
         h = _gelu_f32(h + b1.astype(jnp.float32), approx)
-        if bits == 4:
-            # packed W2 block: lo nibbles hold hidden rows of the LOW half
-            # (this j-tile), hi nibbles the HIGH half (j-tile + H/2)
-            lo, hi = _unpack_nibbles_f32(
-                w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...], ln.dtype)
-            w2h = lo if half == 0 else hi
-        else:
-            w2 = w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...]
-            w2h = w2.astype(ln.dtype)
         acc_s[...] += jax.lax.dot_general(
             h.astype(ln.dtype), w2h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)

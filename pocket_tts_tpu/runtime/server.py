@@ -29,7 +29,7 @@ from ..text.preprocess import count_words, prepare_text_prompt
 from .batched import (_axes_like, admit_stream, batched_decode_sentence,
                       batched_prime_voice, batched_sentence_prefill,
                       continuous_decode_chunk, empty_batch_state, mesh_cfg,
-                      stack_states)
+                      stack_states, unstack_states)
 from .engine import TTSEngine, _bucket, _SCAN_BUCKET
 
 
@@ -265,9 +265,14 @@ class ContinuousBatchingServer:
             padded = jnp.asarray(
                 np.pad(a, ((0, tp - a.shape[0]), (0, 0))), eng.dtype)
             state = backbone.init_state(self.cfg.backbone, eng.dtype)
-            self._voice_states[name] = tts.jit_prime_voice(
+            vstate = tts.jit_prime_voice(
                 eng.params, self.cfg, state, padded,
                 jnp.int32(a.shape[0]))
+            # pre-shrunk to the serving capacity: admission prefill must
+            # not re-slice the caches per request
+            if self.capacity < self.cfg.backbone.kv_capacity:
+                vstate = backbone.shrink_state(vstate, self.capacity)
+            self._voice_states[name] = vstate
         self.prompt_pad = tp
 
     # -- requests --------------------------------------------------------------
@@ -280,27 +285,40 @@ class ContinuousBatchingServer:
         self._queue.append(req)
         return req
 
-    def _prefill(self, req: Request) -> tuple:
-        """Single-stream prefill at the server's uniform buckets. Returns
-        (fresh StreamState, max_steps, frames_after_eos)."""
+    def _prefill_many(self, reqs: Sequence[Request]):
+        """ONE batched prefill for a whole admission group (each per-request
+        prefill used to be its own dispatch — under churn the prefills were
+        a large fraction of total device time). The group pads to a
+        power-of-two lane count so only log2(lanes) program shapes compile.
+        Returns (list of fresh StreamState, [(max_steps, fae)])."""
         eng = self.engine
-        text, guess = prepare_text_prompt(req.text)
-        ids = eng.tokenizer.encode(text)
-        if len(ids) > self.text_bucket:
-            raise ValueError(
-                f"request is {len(ids)} tokens > text_bucket "
-                f"{self.text_bucket}; split it (engine.synthesize re-chunks)")
-        tokens = jnp.asarray(np.pad(np.asarray(ids, np.int32),
-                                    (0, self.text_bucket - len(ids))))
-        vstate = self._voice_states[req.voice]
-        if self.capacity < self.cfg.backbone.kv_capacity:
-            vstate = backbone.shrink_state(vstate, self.capacity)
-        fresh = tts.jit_sentence_prefill(
-            eng.params, self.cfg, vstate, eng._mimi_template, tokens,
-            jnp.int32(len(ids)))
-        max_steps = int((count_words(text) + 2.0)
-                        * eng.cfg.mimi.frame_rate)
-        return fresh, max_steps, guess + 2
+        metas, ids_list = [], []
+        for req in reqs:
+            text, guess = prepare_text_prompt(req.text)
+            ids = eng.tokenizer.encode(text)
+            if len(ids) > self.text_bucket:
+                raise ValueError(
+                    f"request is {len(ids)} tokens > text_bucket "
+                    f"{self.text_bucket}; split it (engine.synthesize "
+                    "re-chunks)")
+            ids_list.append(ids)
+            metas.append((int((count_words(text) + 2.0)
+                              * eng.cfg.mimi.frame_rate), guess + 2))
+        k = 1
+        while k < len(reqs):
+            k *= 2
+        tokens = np.zeros((k, self.text_bucket), np.int32)
+        n_valid = np.zeros((k,), np.int32)
+        for i, ids in enumerate(ids_list):
+            tokens[i, : len(ids)] = ids
+            n_valid[i] = len(ids)
+        vstates = stack_states(
+            [self._voice_states[req.voice] for req in reqs]
+            + [self._voice_states[reqs[-1].voice]] * (k - len(reqs)))
+        batch = batched_sentence_prefill(
+            eng.params, self.cfg, vstates, eng._mimi_template,
+            jnp.asarray(tokens), jnp.asarray(n_valid))
+        return unstack_states(batch, len(reqs)), metas
 
     def _reset_epoch(self):
         eng = self.engine
@@ -312,10 +330,13 @@ class ContinuousBatchingServer:
             self.batch = shard_batched_state(self.batch, self.mesh)
 
     def _admit(self):
-        """Fill idle lanes from the queue (between decode chunks)."""
+        """Fill idle lanes from the queue (between decode chunks): pick the
+        admissible (lane, request) group first, prefill it in ONE batched
+        dispatch, then insert each lane."""
         if self.batch is None:
             self._reset_epoch()
         end = int(np.asarray(self.batch.flow.end))
+        group = []
         for lane in range(self.lanes):
             if not self._queue or self._live[lane] is not None:
                 continue
@@ -324,7 +345,9 @@ class ContinuousBatchingServer:
             need = int((count_words(req.text) + 2.0)
                        * self.engine.cfg.mimi.frame_rate) + 8
             if end + need > self.capacity:
-                if all(r is None for r in self._live):
+                # the slot cursor is shared: an epoch reset is safe only
+                # before anything was admitted this round and all idle
+                if not group and all(r is None for r in self._live):
                     self._reset_epoch()
                     end = self.prefix_slots
                     if end + need > self.capacity:
@@ -335,7 +358,12 @@ class ContinuousBatchingServer:
                 else:
                     break  # let the running epoch drain first
             self._queue.pop(0)
-            fresh, max_steps, fae = self._prefill(req)
+            group.append((lane, req))
+        if not group:
+            return
+        freshes, metas = self._prefill_many([r for _, r in group])
+        for (lane, req), fresh, (max_steps, fae) in zip(group, freshes,
+                                                        metas):
             self.batch = admit_stream(self.batch, jnp.int32(lane), fresh)
             rng = (req._rng if req._rng is not None
                    else self.engine._next_rng())
