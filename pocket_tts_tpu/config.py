@@ -130,6 +130,12 @@ class SeanetConfig:
     resnet_kernel: int = 3          # block.1 conv k3 s1 (channels halved)
     last_kernel: int = 3            # model.11: conv k3 s1 -> 1 channel
     out_ch: int = 1
+    # whole-decoder Pallas megakernel (ops/pallas_seanet.py): None = auto
+    # (TPU backends), True forces (interpret off-TPU), False = XLA chain
+    use_pallas: bool = None
+    # mesh for the shard_map-wrapped megakernel (streams over "data");
+    # set ONLY through runtime.batched.mesh_cfg
+    mesh: object = None
 
     @property
     def total_stride(self) -> int:

@@ -94,6 +94,19 @@ def _resnet_blocked(p, prev, xb, s: int):
 
 def forward(p, cfg: SeanetConfig, state, x):
     """x: (T, in_ch) -> (new_state, pcm (T * total_stride, 1))."""
+    import jax
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:  # auto: megakernel on TPU, XLA chain elsewhere
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and "w" in p["model_0"]:
+        from ..ops.pallas_seanet import kernel_ok, seanet_frame
+        if kernel_ok(cfg):
+            # the ENTIRE decoder chain in one Pallas call per frame
+            # (ops/pallas_seanet.py); falls through to the XLA chain for
+            # non-reference shapes or conv-quantized params
+            return seanet_frame(
+                p, cfg, state, x,
+                interpret=(jax.default_backend() == "cpu"))
     new_state = {}
     new_state["model_0"], x = streaming_conv1d(
         p["model_0"], state["model_0"], x, stride=1)

@@ -258,7 +258,10 @@ def mesh_cfg(cfg, mesh):
         cfg,
         backbone=sub(cfg.backbone),
         mimi=dataclasses.replace(
-            cfg.mimi, transformer=sub(cfg.mimi.transformer)))
+            cfg.mimi,
+            transformer=sub(cfg.mimi.transformer),
+            # the seanet megakernel shards streams over "data" only
+            seanet=dataclasses.replace(cfg.mimi.seanet, mesh=mesh)))
 
 
 class BatchedEngine:
