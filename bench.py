@@ -300,10 +300,6 @@ def main():
         "This considerably longer sentence keeps the decoder busy for many "
         "more frames than the short ones do.",
     ]
-    # warm: compile prefill + admit + chunk programs off the clock
-    srv.submit(texts[0], "v")
-    srv.run_pending()
-    srv.completed.clear()
     n_req = 48
 
     def run_srv():
@@ -319,6 +315,11 @@ def main():
             srv.step()
         return (jnp.zeros(()),)
 
+    # warm with the IDENTICAL workload: every admission-group prefill
+    # bucket must be compiled before the trace, or minutes of tunnel
+    # compile time land inside the trace window and evict its events
+    run_srv()
+    srv.completed.clear()
     events, _ = trace_jit_events(run_srv, fetch)
     chunk_ms = [d for n, d in events if "continuous_decode_chunk" in n]
     prefill_ms = [d for n, d in events if "sentence_prefill" in n]

@@ -53,8 +53,19 @@ def init_state(cfg: MimiTransformerConfig, dtype=jnp.float32):
 def _layer(p, x, k_cache, v_cache, offset, start, cos, sin, bias, cfg,
            gelu_approx: bool, pallas_mode: str):
     t, dm = x.shape
-    h = layer_norm(p["norm1"], x, eps=cfg.norm_eps)
-    qkv = linear(p["in_proj"], h)
+    fused = False
+    if pallas_mode != "off" and "gating" not in p:
+        from ..ops import fused_layer
+        fused = fused_layer.supported(p)
+    if fused:
+        # norm1 + in_proj in one Pallas call (see ops/fused_layer.py; the
+        # same kernels serve the backbone — here with eps=cfg.norm_eps and
+        # the LayerScale vectors applied on both branches)
+        qkv = fused_layer.pre_attention(
+            p, x, eps=cfg.norm_eps, interpret=(pallas_mode == "interpret"))
+    else:
+        h = layer_norm(p["norm1"], x, eps=cfg.norm_eps)
+        qkv = linear(p["in_proj"], h)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(t, cfg.num_heads, cfg.head_dim)
     k = k.reshape(t, cfg.num_heads, cfg.head_dim)
@@ -78,6 +89,12 @@ def _layer(p, x, k_cache, v_cache, offset, start, cos, sin, bias, cfg,
         v_cache = cache_insert_ring(v_cache, v.reshape(t, dm), offset)
         attn = sdpa_seg(q, k_cache.astype(q.dtype),
                         v_cache.astype(q.dtype), bias)
+    if fused:
+        return (fused_layer.post_attention(
+            p, x, attn.reshape(t, dm), eps=cfg.norm_eps,
+            approx=gelu_approx,
+            interpret=(pallas_mode == "interpret")),
+            k_cache, v_cache)
     x = x + p["layer_scale_1"]["scale"] * linear(
         p["out_proj"], attn.reshape(t, dm))
     h = layer_norm(p["norm2"], x, eps=cfg.norm_eps)

@@ -151,7 +151,8 @@ def _pre_call(x, norm_scale, norm_bias, w, scale, bias, layer, bits,
 # post-attention: out_proj + residual + norm2 + MLP + residual
 # ---------------------------------------------------------------------------
 
-def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ns_ref, nb_ref,
+def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ls2_ref,
+                 ns_ref, nb_ref,
                  w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref, b1b_ref,
                  w2_ref, s2_ref, b2_ref, o_ref, x1_s, ln_s, acc_s,
                  *, bits, eps, approx, nsteps):
@@ -159,10 +160,12 @@ def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ns_ref, nb_ref,
 
     @pl.when(j == 0)
     def _():
-        x1 = x_ref[...].astype(jnp.float32)
-        x1 = x1 + _deq_dot(at_ref[...], wo_ref, so_ref, bits)
+        proj = _deq_dot(at_ref[...], wo_ref, so_ref, bits)
         bo = bo_ref[0] if bo_ref.ndim == 3 else bo_ref[...]
-        x1 = x1 + bo.astype(jnp.float32)
+        proj = proj + bo.astype(jnp.float32)
+        # layer_scale_1 (mimi transformer; ones for the backbone)
+        x1 = (x_ref[...].astype(jnp.float32)
+              + ls1_ref[...].astype(jnp.float32) * proj)
         x1_s[...] = x1
         x32 = x1
         mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -200,12 +203,14 @@ def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ns_ref, nb_ref,
         s2 = (s2_ref[0] if s2_ref.ndim == 3
               else s2_ref[...]).astype(jnp.float32)
         b2 = b2_ref[0] if b2_ref.ndim == 3 else b2_ref[...]
-        o_ref[...] = (x1_s[...] + acc_s[...] * s2
-                      + b2.astype(jnp.float32)).astype(o_ref.dtype)
+        up = acc_s[...] * s2 + b2.astype(jnp.float32)
+        o_ref[...] = (x1_s[...]
+                      + ls2_ref[...].astype(jnp.float32) * up
+                      ).astype(o_ref.dtype)
 
 
-def _post_call(x, attn, wo, so, bo, norm_scale, norm_bias, w1, s1, b1,
-               w2, s2, b2, layer, bits, eps, approx, interpret):
+def _post_call(x, attn, wo, so, bo, ls1, ls2, norm_scale, norm_bias,
+               w1, s1, b1, w2, s2, b2, layer, bits, eps, approx, interpret):
     t, dm = x.shape
     hidden = w1.shape[-1]
     stacked = w1.ndim == 3
@@ -251,11 +256,12 @@ def _post_call(x, attn, wo, so, bo, norm_scale, norm_bias, w1, s1, b1,
         return (a.reshape(-1, 1, n) if stacked else a.reshape(1, n))
 
     operands = [x, attn, wo, r2(so.astype(jnp.float32), dm), r2(bo, dm),
+                ls1.reshape(1, dm), ls2.reshape(1, dm),
                 norm_scale.reshape(1, dm), norm_bias.reshape(1, dm),
                 w1, r2(s1.astype(jnp.float32), hidden), r2(b1, hidden),
                 w1, r2(s1.astype(jnp.float32), hidden), r2(b1, hidden),
                 w2, r2(s2.astype(jnp.float32), dm), r2(b2, dm)]
-    in_specs = [xspec, xspec, wospec, dmspec, dmspec, row, row,
+    in_specs = [xspec, xspec, wospec, dmspec, dmspec, row, row, row, row,
                 w1spec, s1spec, s1spec, w1bspec, s1bspec, s1bspec,
                 w2spec, dmspec, dmspec]
     if bits != 4:
@@ -263,8 +269,8 @@ def _post_call(x, attn, wo, so, bo, norm_scale, norm_bias, w1, s1, b1,
         kernel = functools.partial(_post_kernel, bits=bits, eps=eps,
                                    approx=approx, nsteps=nsteps)
         kernel = _drop_b(kernel)
-        operands = operands[:10] + operands[13:]
-        in_specs = in_specs[:10] + in_specs[13:]
+        operands = operands[:12] + operands[15:]
+        in_specs = in_specs[:12] + in_specs[15:]
     else:
         kernel = functools.partial(_post_kernel, bits=bits, eps=eps,
                                    approx=approx, nsteps=nsteps)
@@ -283,12 +289,13 @@ def _post_call(x, attn, wo, so, bo, norm_scale, norm_bias, w1, s1, b1,
 
 
 def _drop_b(kernel):
-    def wrapped(x_ref, at_ref, wo_ref, so_ref, bo_ref, ns_ref, nb_ref,
-                w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, o_ref,
-                x1_s, ln_s, acc_s):
-        return kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ns_ref, nb_ref,
-                      w1_ref, s1_ref, b1_ref, None, None, None,
-                      w2_ref, s2_ref, b2_ref, o_ref, x1_s, ln_s, acc_s)
+    def wrapped(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ls2_ref,
+                ns_ref, nb_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                b2_ref, o_ref, x1_s, ln_s, acc_s):
+        return kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref,
+                      ls2_ref, ns_ref, nb_ref, w1_ref, s1_ref, b1_ref,
+                      None, None, None, w2_ref, s2_ref, b2_ref, o_ref,
+                      x1_s, ln_s, acc_s)
     return wrapped
 
 
@@ -329,18 +336,18 @@ def _make_pre(layer, bits, eps, interpret):
 @functools.lru_cache(maxsize=None)
 def _make_post(layer, bits, eps, approx, interpret):
     @jax.custom_batching.custom_vmap
-    def fn(x, attn, wo, so, bo, ns, nb, w1, s1, b1, w2, s2, b2):
-        return _post_call(x, attn, wo, so, bo, ns, nb, w1, s1, b1,
+    def fn(x, attn, wo, so, bo, ls1, ls2, ns, nb, w1, s1, b1, w2, s2, b2):
+        return _post_call(x, attn, wo, so, bo, ls1, ls2, ns, nb, w1, s1, b1,
                           w2, s2, b2, layer, bits, eps, approx, interpret)
 
     @fn.def_vmap
-    def _rule(axis_size, in_batched, x, attn, wo, so, bo, ns, nb,
+    def _rule(axis_size, in_batched, x, attn, wo, so, bo, ls1, ls2, ns, nb,
               w1, s1, b1, w2, s2, b2):
         assert in_batched[0] and in_batched[1], in_batched
         assert not any(in_batched[2:]), in_batched
         t = x.shape[1]
         y = fn(x.reshape(axis_size * t, -1), attn.reshape(axis_size * t, -1),
-               wo, so, bo, ns, nb, w1, s1, b1, w2, s2, b2)
+               wo, so, bo, ls1, ls2, ns, nb, w1, s1, b1, w2, s2, b2)
         return y.reshape(axis_size, t, -1), True
 
     return fn
@@ -366,18 +373,24 @@ def pre_attention(p, x, eps: float = 1e-5, interpret: bool = False):
 
 def post_attention(p, x, attn, eps: float = 1e-5, approx: bool = False,
                    interpret: bool = False):
-    """x + out_proj(attn) -> +MLP(norm2). x/attn: (T, dm)."""
+    """x + ls1 * out_proj(attn) -> + ls2 * MLP(norm2). x/attn: (T, dm).
+    layer_scale_1/2 default to ones (the backbone); the mimi transformer
+    passes its per-channel LayerScale vectors."""
     wo, so, bo, bits = _qw(p["out_proj"])
     w1, s1, b1, _ = _qw(p["linear1"])
     w2, s2, b2, _ = _qw(p["linear2"])
     stacked = wo.ndim == 3
+    dm = wo.shape[-1]
     if bo is None:
-        bo = _zeros_like_bias(wo, stacked, wo.shape[-1])
+        bo = _zeros_like_bias(wo, stacked, dm)
     if b1 is None:
         b1 = _zeros_like_bias(w1, stacked, w1.shape[-1])
     if b2 is None:
         b2 = _zeros_like_bias(w2, stacked, w2.shape[-1])
+    ones = jnp.ones((dm,), x.dtype)
+    ls1 = p.get("layer_scale_1", {}).get("scale", ones)
+    ls2 = p.get("layer_scale_2", {}).get("scale", ones)
     layer = p["out_proj"].get("_layer", 0)
     return _make_post(layer, bits, eps, approx, interpret)(
-        x, attn, wo, so, bo, p["norm2"]["scale"], p["norm2"]["bias"],
-        w1, s1, b1, w2, s2, b2)
+        x, attn, wo, so, bo, ls1, ls2,
+        p["norm2"]["scale"], p["norm2"]["bias"], w1, s1, b1, w2, s2, b2)

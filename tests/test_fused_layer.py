@@ -84,6 +84,43 @@ class TestFusedLayer:
             p, xs[i], ats[i], interpret=True)) for i in range(5)])
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
+    def test_mimi_layer_fused_vs_xla(self):
+        """The same kernels serve the mimi transformer (eps=0 norms,
+        LayerScale on both branches): quantized pallas-mode forward ==
+        the XLA quantized path."""
+        from pocket_tts_tpu.config import MimiTransformerConfig
+        from pocket_tts_tpu.models import mimi_transformer
+        rng = np.random.RandomState(7)
+        mt = MimiTransformerConfig(d_model=128, num_heads=2, num_layers=2,
+                                   hidden_dim=256, context=40, capacity=48)
+
+        def t(*shape, s=0.15):
+            return jnp.asarray(rng.randn(*shape).astype(np.float32) * s)
+
+        layers = {
+            "norm1": {"scale": t(2, 128, s=1.0) * 0 + 1.0,
+                      "bias": t(2, 128)},
+            "in_proj": {"w": t(2, 128, 384)},
+            "out_proj": {"w": t(2, 128, 128)},
+            "layer_scale_1": {"scale": t(2, 128, s=0.5)},
+            "norm2": {"scale": t(2, 128, s=1.0) * 0 + 1.0,
+                      "bias": t(2, 128)},
+            "linear1": {"w": t(2, 128, 256), "b": t(2, 256)},
+            "linear2": {"w": t(2, 256, 128), "b": t(2, 128)},
+            "layer_scale_2": {"scale": t(2, 128, s=0.5)},
+        }
+        for bits in (8, 4):
+            pq = {"layers": quantize_params({"layers": layers},
+                                            bits=bits)["layers"]}
+            cfg_x = dataclasses.replace(mt, use_pallas_attn=False)
+            cfg_p = dataclasses.replace(mt, use_pallas_attn=True)
+            x = t(16, 128, s=0.3)
+            st = mimi_transformer.init_state(mt)
+            _, y_x = mimi_transformer.forward(pq, cfg_x, st, x)
+            _, y_p = mimi_transformer.forward(pq, cfg_p, st, x)
+            np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                                       atol=2e-4, err_msg=f"bits={bits}")
+
     def test_full_decode_step_fused_vs_xla(self):
         """backbone.forward T=1 with use_pallas_attn (interpret; routes the
         fused layer kernels) == the XLA quantized path."""
