@@ -117,6 +117,13 @@ def main(argv=None) -> int:
 
     os.makedirs(args.out, exist_ok=True)
     probes = stage_probes(eng, args.voice, args.text, args.frames)
+    # per-weight int4/int8 quantization error: flags layers whose real
+    # weights would need grouped scales or a fallback (io/quant.py)
+    from .io.quant import quantization_error_report
+    probes["quant_rel_error_int4"] = quantization_error_report(
+        eng.params, bits=4)
+    probes["quant_rel_error_int8"] = quantization_error_report(
+        eng.params, bits=8)
     probes_path = os.path.join(args.out, "ab_probes.json")
     with open(probes_path, "w") as f:
         json.dump(probes, f, indent=1)

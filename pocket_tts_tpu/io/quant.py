@@ -150,6 +150,49 @@ def quantize_params(params, bits: int = 8, convs: bool = False) -> dict:
     return walk(params)
 
 
+def quantization_error_report(params, bits: int = 4,
+                              convs: bool = False) -> dict:
+    """Per-weight max relative quantization error: {keypath: err}.
+
+    The real-weights-day instrument for the per-channel-vs-grouped-scale
+    question: the reference's Q4_0 uses 32-element block scales
+    (src/loader.h:162-173) and per-OUTPUT-CHANNEL int4 scales (ours) can
+    lose precision on channels with in-row outliers. Run this on the real
+    checkpoint (python -m pocket_tts_tpu.ab dumps it into the probes
+    JSON); any module whose error is far above the ~0.08 int4 / ~0.005
+    int8 baseline needs grouped scales or an int8/bf16 fallback there.
+    """
+    pq = quantize_params(params, bits=bits, convs=convs)
+    report = {}
+    flat_o, _ = jax.tree_util.tree_flatten_with_path(params)
+    orig = {jax.tree_util.keystr(k): v for k, v in flat_o}
+    flat_q, _ = jax.tree_util.tree_flatten_with_path(pq)
+    qmap = {jax.tree_util.keystr(k): v for k, v in flat_q}
+    for key, qv in qmap.items():
+        base = None
+        if key.endswith("['q']") or key.endswith("['q4']"):
+            base = key[: key.rfind("[")] + "['w']"
+        if base is None or base not in orig:
+            continue
+        w = np.asarray(orig[base], np.float32)
+        scale = np.asarray(qmap[key[: key.rfind("[")] + "['scale']"],
+                           np.float32)
+        if key.endswith("['q']"):
+            deq = np.asarray(qv, np.float32) * scale[..., None, :]
+        else:
+            from ..ops.quant_matmul import unpack_int4
+            q4 = np.asarray(qv)
+            if q4.ndim == 3:
+                deq = np.stack([np.asarray(unpack_int4(q4[l]), np.float32)
+                                for l in range(q4.shape[0])])
+            else:
+                deq = np.asarray(unpack_int4(q4), np.float32)
+            deq = deq * scale[..., None, :]
+        denom = np.abs(w).max(axis=-2, keepdims=True) + 1e-12
+        report[base] = float((np.abs(deq - w) / denom).max())
+    return report
+
+
 # ---------------------------------------------------------------------------
 # param cache: any params pytree <-> one safetensors file
 # ---------------------------------------------------------------------------

@@ -25,6 +25,10 @@ def test_ab_runner_on_fixture_dir(tmp_path):
         assert np.isfinite(fr["pcm_sum"])
     # prefill consumed more slots than the voice prefix alone
     assert probes["prefill_end"] > probes["voice_end"]
+    # quantization outlier report present and sane (int4 per-channel
+    # relative error ~<= 1/15 per column scale)
+    errs = probes["quant_rel_error_int4"]
+    assert errs and all(0 <= e < 0.2 for e in errs.values()), errs
     from pocket_tts_tpu.io.wav import load_wav
     pcm, sr = load_wav(os.path.join(out, "ab_out.wav"))
     assert sr == cfg0.mimi.sample_rate and pcm.size > 0

@@ -113,8 +113,11 @@ class TestShardMapPallas:
             CFG,
             backbone=dataclasses.replace(CFG.backbone, use_pallas_attn=True),
             mimi=dataclasses.replace(
-                CFG.mimi, transformer=dataclasses.replace(
-                    CFG.mimi.transformer, use_pallas_attn=True)))
+                CFG.mimi,
+                transformer=dataclasses.replace(
+                    CFG.mimi.transformer, use_pallas_attn=True),
+                seanet=dataclasses.replace(
+                    CFG.mimi.seanet, use_pallas=True)))
 
     def test_mesh_cfg_threads_mesh_when_divisible(self):
         from pocket_tts_tpu.runtime.batched import mesh_cfg
