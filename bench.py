@@ -333,6 +333,12 @@ def main():
     ttfa_dev = sorted(
         (r.first_audio_step - r.submit_step) * cms + pms
         for r in done if r.first_audio_step is not None)
+    # service TTFA: admission -> first audio (excludes queue wait — the
+    # throughput workload deliberately saturates the 32 lanes, so the
+    # submit-to-audio p50 above is queue-dominated by construction)
+    ttfa_svc = sorted(
+        (r.first_audio_step - r.admit_step) * cms + pms
+        for r in done if r.first_audio_step is not None)
 
     def pct(xs, p):
         return xs[min(len(xs) - 1, int(p * len(xs)))] if xs else float("nan")
@@ -354,6 +360,7 @@ def main():
         "serving_continuous_fps": round(fps_continuous, 2),
         "p50_ttfa_ms": round(pct(ttfa_dev, 0.50), 2),
         "p95_ttfa_ms": round(pct(ttfa_dev, 0.95), 2),
+        "p50_service_ttfa_ms": round(pct(ttfa_svc, 0.50), 2),
         "serving_requests": len(done),
         "serving_chunks": len(chunk_ms),
         "serving_chunk_ms": round(float(cms), 3),

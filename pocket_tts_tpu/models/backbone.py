@@ -87,7 +87,9 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
     """
     t, dm = x.shape
     fused = False
-    if pallas_mode != "off" and t == 1:
+    # mesh is None: the fused layer kernels have no GSPMD partitioning (and
+    # TP shards their weights) — under a mesh the XLA linears handle TP
+    if pallas_mode != "off" and t == 1 and mesh is None:
         from ..ops import fused_layer
         fused = fused_layer.supported(p)
     if fused:

@@ -54,7 +54,9 @@ def _layer(p, x, k_cache, v_cache, offset, start, cos, sin, bias, cfg,
            gelu_approx: bool, pallas_mode: str):
     t, dm = x.shape
     fused = False
-    if pallas_mode != "off" and "gating" not in p:
+    # cfg.mesh None: no GSPMD partitioning for the fused kernels (the XLA
+    # linears handle TP under a mesh)
+    if pallas_mode != "off" and "gating" not in p and cfg.mesh is None:
         from ..ops import fused_layer
         fused = fused_layer.supported(p)
     if fused:

@@ -39,10 +39,32 @@ def _unfused_post(p, x, attn, approx=False):
 
 class TestFusedLayer:
     def test_supported_detection(self):
+        # bf16 weights are NOT auto-dispatched (measured 2x slower at B=1:
+        # the Mosaic calls serialize the weight stream XLA prefetches);
+        # only uniformly quantized layers route to the fused kernels
         assert not fused_layer.supported(
             slice_layer_params(PARAMS["layers"], 0))
         for bits in (8, 4):
             assert fused_layer.supported(_layer_params(bits))
+        mixed = dict(_layer_params(8))
+        mixed["linear1"] = _layer_params(4)["linear1"]
+        assert not fused_layer.supported(mixed)
+
+    def test_bf16_weights_pre_post_match_unfused(self):
+        """The bits=16 kernel path stays correct when called directly
+        (auto-dispatch excludes it — see fused_layer.supported)."""
+        rng = np.random.RandomState(9)
+        dm = CFG.backbone.d_model
+        p = slice_layer_params(PARAMS["layers"], 1)
+        x = jnp.asarray(rng.randn(1, dm).astype(np.float32) * 0.3)
+        attn = jnp.asarray(rng.randn(1, dm).astype(np.float32) * 0.3)
+        np.testing.assert_allclose(
+            np.asarray(fused_layer.pre_attention(p, x, interpret=True)),
+            np.asarray(_unfused_pre(p, x)), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(fused_layer.post_attention(p, x, attn,
+                                                  interpret=True)),
+            np.asarray(_unfused_post(p, x, attn)), atol=1e-5)
 
     def test_pre_attention_matches_unfused(self):
         rng = np.random.RandomState(0)
