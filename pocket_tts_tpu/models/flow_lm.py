@@ -61,7 +61,11 @@ def decode_step(p, cfg: ModelConfig, state: backbone.BackboneState,
     # ref: sum(out_eos - (-4)) > 0  <=>  logit > eos_threshold
     is_eos = eos_logit > cfg.eos_threshold
     t_comb = p.get("_time_cond")
-    latent = flow_mlp.sample_latent(p["flow_net"], h, noise, t_comb)
+    # under a mesh the fused flow kernel (a Mosaic custom call) has no
+    # GSPMD partitioning — force the XLA path there
+    use_pallas = None if cfg.backbone.mesh is None else False
+    latent = flow_mlp.sample_latent(p["flow_net"], h, noise, t_comb,
+                                    use_pallas=use_pallas)
     return state, latent, is_eos
 
 

@@ -64,16 +64,26 @@ def final_layer(p, x, y):
     return linear(p["linear"], x)
 
 
-def forward(p, c, x, t_combined=None):
+def forward(p, c, x, t_combined=None, use_pallas=None):
     """Flow direction for one step.
 
     c: (d_model,) conditioning (backbone output, post out_norm).
     x: (latent_dim,) noise.
     t_combined: optional precomputed `time_cond(p)`.
+    use_pallas: route QUANTIZED params through the whole-net fused kernel
+    (ops/fused_flow.py); None = auto (TPU backends).
     ref: simple_mlp_adaln_forward, mlp.h:233-251.
     """
     if t_combined is None:
         t_combined = time_cond(p)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ..ops import fused_flow
+        if fused_flow.supported(p):
+            return fused_flow.flow_forward(
+                p, c, x, t_combined,
+                interpret=(jax.default_backend() == "cpu"))
     h = linear(p["input_proj"], x)
     y = t_combined + linear(p["cond_embed"], c)
 
@@ -86,6 +96,6 @@ def forward(p, c, x, t_combined=None):
     return final_layer(p["final"], h, y)
 
 
-def sample_latent(p, c, noise, t_combined=None):
+def sample_latent(p, c, noise, t_combined=None, use_pallas=None):
     """latent = noise + flow_net(c, s=0, t=1, noise). ref: flow_lm.h:136-141."""
-    return noise + forward(p, c, noise, t_combined)
+    return noise + forward(p, c, noise, t_combined, use_pallas)
