@@ -283,10 +283,18 @@ def main():
     mfu_batch = fps_batch * flops_pf / peak_flops
 
     # --- the serving path that actually serves: ContinuousBatchingServer
-    # under churn (staggered arrivals, mixed sentence lengths), device-trace
-    # timed (VERDICT r2 next #4). TTFA is reported in DEVICE time: queue +
-    # decode chunks waited (scheduling steps) x measured per-chunk device
-    # ms + per-prefill device ms — wall clocks here are tunnel transport.
+    # at STEADY STATE (sustained offered load, mixed sentence lengths),
+    # device-trace timed over a bounded window (VERDICT r2 next #4).
+    #
+    # Methodology note (r3 fix): the round-3 run traced a whole
+    # finite-request churn run; the profiler dropped most chunk events from
+    # the long trace, undercounting device time ~3.5x (36k "aggregate" from
+    # 31 captured chunks that could only have emitted 4960 frames). This
+    # version traces a SHORT steady-state window (no event loss — chunk
+    # count is asserted), counts the frames emitted in that window, and
+    # reports lane occupancy explicitly. TTFA is reported in DEVICE time
+    # from scheduling steps x measured per-chunk ms; wall clocks through
+    # this environment's TPU tunnel are transport noise.
     from pocket_tts_tpu.runtime.engine import TTSEngine
     from pocket_tts_tpu.runtime.server import ContinuousBatchingServer
     eng = TTSEngine(params=params_q4, cfg=cfg_srv, dtype=dtype, tokenizer=tok)
@@ -300,42 +308,45 @@ def main():
         "This considerably longer sentence keeps the decoder busy for many "
         "more frames than the short ones do.",
     ]
-    n_req = 48
+    rr = [0]
+
+    def offer():
+        # sustained offered load: keep half a batch queued
+        while len(srv._queue) < srv.lanes // 2:
+            srv.submit(texts[rr[0] % 3], "v")
+            rr[0] += 1
+
+    n_window = 40
+    emitted = [0]
 
     def run_srv():
-        pending = [texts[i % 3] for i in range(n_req)]
-        for t in pending[:24]:          # initial burst
-            srv.submit(t, "v")
-        pending = pending[24:]
-        while srv._queue or pending or any(r is not None for r in srv._live):
-            if pending:                  # staggered arrivals: 3 per chunk
-                for t in pending[:3]:
-                    srv.submit(t, "v")
-                pending = pending[3:]
-            srv.step()
+        for _ in range(n_window):
+            offer()
+            emitted[0] += srv.step()
         return (jnp.zeros(()),)
 
-    # warm with the IDENTICAL workload: every admission-group prefill
-    # bucket must be compiled before the trace, or minutes of tunnel
-    # compile time land inside the trace window and evict its events
+    # two warm windows: reach full occupancy AND compile every program
+    # (admission-group buckets, the epoch-exhaustion compaction) before
+    # the traced window
     run_srv()
-    srv.completed.clear()
+    run_srv()
+    emitted[0] = 0
     events, _ = trace_jit_events(run_srv, fetch)
     chunk_ms = [d for n, d in events if "continuous_decode_chunk" in n]
     prefill_ms = [d for n, d in events if "sentence_prefill" in n]
     total_ms = sum(d for _, d in events)
-    done = srv.completed
-    srv_frames = sum(r.pcm.size for r in done) // eng.frame_size
-    fps_continuous = (srv_frames / (total_ms / 1e3) if total_ms > 0
+    srv_frames = emitted[0]
+    occupancy = srv_frames / (n_window * srv.chunk_frames * srv.lanes)
+    fps_continuous = (srv_frames / (total_ms / 1e3)
+                      if total_ms > 0 and len(chunk_ms) == n_window
                       else float("nan"))
     cms = np.mean(chunk_ms) if chunk_ms else float("nan")
     pms = np.mean(prefill_ms) if prefill_ms else 0.0
-    ttfa_dev = sorted(
-        (r.first_audio_step - r.submit_step) * cms + pms
-        for r in done if r.first_audio_step is not None)
-    # service TTFA: admission -> first audio (excludes queue wait — the
-    # throughput workload deliberately saturates the 32 lanes, so the
-    # submit-to-audio p50 above is queue-dominated by construction)
+    done = srv.completed
+    # service TTFA: admission -> first audio. Submit-to-audio latency is
+    # queue-dominated by construction here (the workload deliberately
+    # saturates all lanes); a lightly-loaded server's TTFA is one
+    # admission prefill + one chunk, reported as ttfa_light_ms.
     ttfa_svc = sorted(
         (r.first_audio_step - r.admit_step) * cms + pms
         for r in done if r.first_audio_step is not None)
@@ -343,7 +354,14 @@ def main():
     def pct(xs, p):
         return xs[min(len(xs) - 1, int(p * len(xs)))] if xs else float("nan")
 
-    print(json.dumps({
+    def finite(x):
+        # json.dumps emits bare NaN/Infinity, which strict JSON parsers
+        # reject — degrade any non-finite metric to null instead
+        if isinstance(x, float) and not np.isfinite(x):
+            return None
+        return x
+
+    print(json.dumps({k: finite(v) for k, v in {
         "metric": "decode_frames_per_second",
         "value": round(fps, 2),
         "unit": "frames/s",
@@ -358,11 +376,13 @@ def main():
         "batch32_serving_frames_per_second": round(fps_batch_int4, 2),
         "batch64_serving_frames_per_second": round(fps_batch64_int4, 2),
         "serving_continuous_fps": round(fps_continuous, 2),
-        "p50_ttfa_ms": round(pct(ttfa_dev, 0.50), 2),
-        "p95_ttfa_ms": round(pct(ttfa_dev, 0.95), 2),
+        "serving_occupancy": round(occupancy, 3),
         "p50_service_ttfa_ms": round(pct(ttfa_svc, 0.50), 2),
+        "p95_service_ttfa_ms": round(pct(ttfa_svc, 0.95), 2),
+        "ttfa_light_ms": round(float(pms + cms), 2),
         "serving_requests": len(done),
         "serving_chunks": len(chunk_ms),
+        "serving_compactions": srv.compactions,
         "serving_chunk_ms": round(float(cms), 3),
         "serving_prefill_ms": round(float(pms), 3),
         "serving_decode_frac": round(sum(chunk_ms) / total_ms, 3)
@@ -385,7 +405,7 @@ def main():
         "device": str(dev),
         "batch": 1,
         "timing": "device (jax.profiler trace); wall_* include tunnel RTT",
-    }))
+    }.items()}))
     return 0
 
 

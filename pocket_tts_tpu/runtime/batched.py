@@ -204,12 +204,105 @@ def admit_stream(batch: tts.StreamState, lane,
         done=batch.done.at[lane].set(False))
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, donate_argnums=(0,))
+def admit_group(batch: tts.StreamState, lanes,
+                fresh: tts.StreamState) -> tts.StreamState:
+    """Admit a GROUP of freshly prefilled streams in ONE dispatch.
+
+    lanes: (k,) int32, the destination lane of fresh stream i; entries
+    >= B are padding and their writes are DROPPED (the admission group
+    pads to a power of two in the server so only log2 shapes compile —
+    indices must arrive sorted and, padding included, distinct).
+    fresh: a k-lane stacked StreamState straight from
+    batched_sentence_prefill (its batch-uniform cursors are ignored; the
+    running batch's shared slot cursor and mimi ring offset stay).
+
+    The batch argument is DONATED: XLA aliases it in place, so admission
+    writes only the admitted lanes. The per-lane admit_stream path copied
+    the FULL multi-hundred-MB batch state per admission (no donation) and
+    cost one dispatch per lane — under churn those copies were a visible
+    slice of device time.
+    """
+    lanes = jnp.asarray(lanes, jnp.int32)
+    axes = _axes_like(batch)
+
+    def put(a, dst, src):
+        if a is None:
+            return dst
+        return dst.at[lanes].set(src.astype(dst.dtype), mode="drop",
+                                 indices_are_sorted=True,
+                                 unique_indices=True)
+
+    out = jax.tree.map(put, axes, batch, fresh,
+                       is_leaf=lambda x: x is None)
+    # the joining lanes' mimi `start` records the join time (the shared
+    # ring offset) so RoPE phases and the ring window are stream-relative
+    tr = out.mimi.transformer
+    start = tr.start.at[lanes].set(
+        jnp.broadcast_to(batch.mimi.transformer.offset, lanes.shape),
+        mode="drop", indices_are_sorted=True, unique_indices=True)
+    return out.replace(mimi=out.mimi.replace(
+        transformer=tr.replace(start=start)))
+
+
+@functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+def compact_batch(batch: tts.StreamState, live, prefix_slots: int
+                  ) -> tts.StreamState:
+    """Compact every live lane's KV rows to the front of the cache and pull
+    the shared slot cursor back — the continuous server's answer to epoch
+    exhaustion WITHOUT draining.
+
+    The slot/position decoupling makes this a pure slot permutation: RoPE
+    was applied at write time and attention masks on the per-slot `pos`
+    array, so rows can move to any slot as long as `pos` moves with them.
+    Each lane's valid rows (pos >= 0, lane live) are gathered to the front
+    in original order (stable argsort on validity), dead lanes compact to
+    zero rows, and the batch-uniform cursor restarts at the longest live
+    lane's row count. One batched gather (~one full cache read+write),
+    paid once per epoch exhaustion instead of idling lanes while the
+    longest sentence drains.
+
+    live: (B,) bool — lanes currently decoding. batch is DONATED.
+    """
+    bf = batch.flow
+    pos = bf.pos                                   # (B, S)
+    s = pos.shape[-1]
+    valid = (pos >= 0) & live[:, None]
+    # stable valid-first permutation per lane
+    key = jnp.where(valid, 0, s) + jnp.arange(s, dtype=jnp.int32)
+    idx = jnp.argsort(key, axis=-1)
+
+    def take(c):
+        extra = (1,) * (c.ndim - 2)
+        return jnp.take_along_axis(c, idx.reshape(idx.shape + extra),
+                                   axis=1)
+
+    new_pos = jnp.where(jnp.take_along_axis(valid, idx, axis=1),
+                        take(pos), -1)
+    counts = valid.sum(-1)
+    new_end = jnp.maximum(jnp.int32(prefix_slots),
+                          counts.max().astype(jnp.int32))
+    flow = bf.replace(
+        k=tuple(take(c) for c in bf.k),
+        v=tuple(take(c) for c in bf.v),
+        pos=new_pos, end=new_end)
+    if bf.k_scale is not None:
+        flow = flow.replace(
+            k_scale=tuple(take(c) for c in bf.k_scale),
+            v_scale=tuple(take(c) for c in bf.v_scale))
+    return batch.replace(flow=flow)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(3,))
 def continuous_decode_chunk(p, cfg, chunk_frames: int, states, rngs, temps,
                             frames_after_eos, max_steps):
     """Decode chunk_frames for every lane; lanes are at DIFFERENT local
     steps, so each folds its rng with its own step counter (identical noise
-    sequence to solo decode_sentence's fold_in(rng, i))."""
+    sequence to solo decode_sentence's fold_in(rng, i)).
+
+    states is DONATED — the caller must rebind it to the returned state
+    (the server does). Without donation every chunk re-materialized the
+    full KV/ring state before the first in-place insert."""
     axes = _axes_like(states)
 
     def body(st, _):

@@ -7,7 +7,7 @@ SLO"). Two schedulers over the same batched runtime:
   decode in chunks. Simple, but a late request waits for the cohort.
 - ContinuousBatchingServer: per-chunk admission into a RUNNING batch. The
   slot/position decoupling makes this possible with batch-uniform slot
-  cursors: a joining lane's KV prefix is written wholesale (admit_stream),
+  cursors: a joining lane's KV prefix is written wholesale (admit_group),
   its positions/step/mimi-start are stream-relative, and its future KV
   writes share the batch's slot cursor. A request submitted mid-decode
   starts within <= chunk_frames and its audio equals solo synthesis.
@@ -26,10 +26,10 @@ import jax.numpy as jnp
 
 from ..models import backbone, mimi, tts
 from ..text.preprocess import count_words, prepare_text_prompt
-from .batched import (_axes_like, admit_stream, batched_decode_sentence,
+from .batched import (_axes_like, admit_group, batched_decode_sentence,
                       batched_prime_voice, batched_sentence_prefill,
-                      continuous_decode_chunk, empty_batch_state, mesh_cfg,
-                      stack_states, unstack_states)
+                      compact_batch, continuous_decode_chunk,
+                      empty_batch_state, mesh_cfg, stack_states)
 from .engine import TTSEngine, _bucket, _SCAN_BUCKET
 
 
@@ -240,6 +240,10 @@ class ContinuousBatchingServer:
         self._chunks: List[List[np.ndarray]] = [[] for _ in range(lanes)]
         self.completed: List[Request] = []
         self.steps = 0  # decode chunks executed (scheduling clock)
+        self.compactions = 0  # epoch-exhaustion compactions performed
+        # compaction reclaims finished lanes' slots + admission-point gaps;
+        # until another lane finishes, re-compacting frees ~nothing — gate
+        self._compact_useful = True
         self.batch: Optional[tts.StreamState] = None
         eng = engine
         self._rngs = np.zeros((lanes, 2), np.uint32)
@@ -290,7 +294,7 @@ class ContinuousBatchingServer:
         prefill used to be its own dispatch — under churn the prefills were
         a large fraction of total device time). The group pads to a
         power-of-two lane count so only log2(lanes) program shapes compile.
-        Returns (list of fresh StreamState, [(max_steps, fae)])."""
+        Returns (stacked padded StreamState, [(max_steps, fae)])."""
         eng = self.engine
         metas, ids_list = [], []
         for req in reqs:
@@ -318,10 +322,11 @@ class ContinuousBatchingServer:
         batch = batched_sentence_prefill(
             eng.params, self.cfg, vstates, eng._mimi_template,
             jnp.asarray(tokens), jnp.asarray(n_valid))
-        return unstack_states(batch, len(reqs)), metas
+        return batch, metas
 
     def _reset_epoch(self):
         eng = self.engine
+        self._compact_useful = True
         self.batch = empty_batch_state(eng.params, self.cfg, self.lanes,
                                        self.capacity, self.prefix_slots,
                                        eng.dtype)
@@ -332,11 +337,12 @@ class ContinuousBatchingServer:
     def _admit(self):
         """Fill idle lanes from the queue (between decode chunks): pick the
         admissible (lane, request) group first, prefill it in ONE batched
-        dispatch, then insert each lane."""
+        dispatch, then insert the whole group in one donated write."""
         if self.batch is None:
             self._reset_epoch()
         end = int(np.asarray(self.batch.flow.end))
         group = []
+        compacted = False
         for lane in range(self.lanes):
             if not self._queue or self._live[lane] is not None:
                 continue
@@ -344,27 +350,43 @@ class ContinuousBatchingServer:
             # worst-case frames this request needs from its admission point
             need = int((count_words(req.text) + 2.0)
                        * self.engine.cfg.mimi.frame_rate) + 8
-            if end + need > self.capacity:
-                # the slot cursor is shared: an epoch reset is safe only
-                # before anything was admitted this round and all idle
-                if not group and all(r is None for r in self._live):
+            if end + need > self.capacity and not compacted:
+                # slot budget exhausted: compact live lanes' rows to the
+                # cache front and pull the shared cursor back (finished
+                # lanes' slots are reclaimed without draining the epoch)
+                live = np.asarray([r is not None for r in self._live])
+                if live.any() and self._compact_useful:
+                    self.batch = compact_batch(
+                        self.batch, jnp.asarray(live), self.prefix_slots)
+                    self.compactions += 1
+                    self._compact_useful = False
+                    end = int(np.asarray(self.batch.flow.end))
+                elif not live.any():
                     self._reset_epoch()
                     end = self.prefix_slots
-                    if end + need > self.capacity:
-                        self._queue.pop(0)
-                        raise ValueError(
-                            f"request needs {need} frames + {end} prefix "
-                            f"slots > capacity {self.capacity}")
-                else:
-                    break  # let the running epoch drain first
+                compacted = True
+            if end + need > self.capacity:
+                if not group and all(r is None for r in self._live):
+                    self._queue.pop(0)
+                    raise ValueError(
+                        f"request needs {need} frames + {end} prefix "
+                        f"slots > capacity {self.capacity}")
+                break  # even compacted, the live lanes fill the budget
             self._queue.pop(0)
             group.append((lane, req))
         if not group:
             return
-        freshes, metas = self._prefill_many([r for _, r in group])
-        for (lane, req), fresh, (max_steps, fae) in zip(group, freshes,
-                                                        metas):
-            self.batch = admit_stream(self.batch, jnp.int32(lane), fresh)
+        fresh, metas = self._prefill_many([r for _, r in group])
+        # ONE donated-in-place dispatch admits the whole group; the
+        # prefill's power-of-two padding lanes get distinct out-of-range
+        # indices (sorted after the real ones) so their writes drop
+        k = int(fresh.step.shape[0])
+        lane_idx = np.asarray(
+            [lane for lane, _ in group]
+            + list(range(self.lanes, self.lanes + k - len(group))),
+            np.int32)
+        self.batch = admit_group(self.batch, jnp.asarray(lane_idx), fresh)
+        for (lane, req), (max_steps, fae) in zip(group, metas):
             rng = (req._rng if req._rng is not None
                    else self.engine._next_rng())
             self._rngs[lane] = np.asarray(rng)
@@ -410,6 +432,7 @@ class ContinuousBatchingServer:
                 self.completed.append(req)
                 self._live[lane] = None
                 self._chunks[lane] = []
+                self._compact_useful = True
         return emitted
 
     def run_pending(self, max_chunks: int = 10_000):

@@ -128,6 +128,33 @@ class TestContinuousBatching:
         srv2.run_pending()
         np.testing.assert_allclose(r1.pcm, r2.pcm, atol=2e-5, rtol=0)
 
+    def test_compaction_keeps_long_lane_audio(self):
+        """Epoch exhaustion with a LIVE long sentence: the slot compaction
+        reclaims finished lanes' slots so the backlog keeps admitting
+        without draining — and the live lane's audio is unchanged by its
+        rows moving slots (attention masks on pos, not slot index)."""
+        long_text = ("The first stream keeps the batch busy for a very "
+                     "long while.")
+        eng = make_engine()
+        srv = make_server(eng, lanes=2, chunk_frames=4)
+        kA = jax.random.PRNGKey(11)
+        reqA = srv.submit(long_text, "va", temp=0.3, rng=kA)
+        shorts = [srv.submit("Backlog item %d here." % i, "vb", temp=0.0)
+                  for i in range(5)]
+        srv.run_pending()
+        assert srv.compactions >= 1, "capacity never exhausted mid-epoch"
+        assert all(r.pcm is not None and r.pcm.size > 0
+                   for r in [reqA] + shorts)
+        # the long lane decoded ACROSS a compaction; must equal solo
+        va = np.asarray(random_voice_prompt(CFG, 12, seed=1))
+        soloA = solo_pcm(eng, long_text, va, 0.3, kA)
+        assert reqA.pcm.shape == soloA.shape
+        np.testing.assert_allclose(reqA.pcm, soloA, atol=2e-5, rtol=0)
+        # temp-0 shorts all identical (admitted at different epochs/slots)
+        for r in shorts[1:]:
+            np.testing.assert_allclose(r.pcm, shorts[0].pcm, atol=2e-5,
+                                       rtol=0)
+
     def test_oversized_request_rejected(self):
         eng = make_engine()
         srv = make_server(eng, lanes=2)
