@@ -109,7 +109,9 @@ def frame_step(p, cfg: ModelConfig, state: StreamState, rng, temp,
     # bounds, so it is emitted; only future frames stop. (The reference
     # leaves this overflow unhandled — src/pocket_tts.cpp:425 TODO.)
     # Capacity comes from the cache shape: sentences run on shrunk slot
-    # budgets (backbone.shrink_state).
+    # budgets (backbone.shrink_state). In prefix+ring mode the cursor
+    # wraps below capacity, so this stop never fires — admission bounds
+    # each request to the ring size instead (runtime/server.py).
     capacity = fstate.k[0].shape[-2]
     done_next = stop | (fstate.end >= capacity)
     mimi_in = flow_lm.denormalize(p, latent)

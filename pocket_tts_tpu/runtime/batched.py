@@ -30,13 +30,20 @@ def _axes_like(state, batched: bool = True):
     `start`) is per-stream so lanes can be at different points of their
     sentences (continuous batching)."""
     axes = jax.tree.map(lambda _: 0 if batched else None, state)
+
+    def flow_axes(fl):
+        fl = fl.replace(end=None)
+        if fl.ring_start is not None:   # ring cursor start is shared too
+            fl = fl.replace(ring_start=None)
+        return fl
+
     if isinstance(state, tts.StreamState):
         return axes.replace(
-            flow=axes.flow.replace(end=None),
+            flow=flow_axes(axes.flow),
             mimi=axes.mimi.replace(
                 transformer=axes.mimi.transformer.replace(offset=None)))
     if isinstance(state, backbone.BackboneState):
-        return axes.replace(end=None)
+        return flow_axes(axes)
     if isinstance(state, mimi.MimiState):
         return axes.replace(
             transformer=axes.transformer.replace(offset=None))
@@ -147,16 +154,23 @@ def batched_decode_sentence(p, cfg, states, rngs, temp, frames_after_eos,
 # ---------------------------------------------------------------------------
 
 def empty_batch_state(p, cfg, b: int, capacity: int, prefix_slots: int,
-                      dtype=jnp.float32) -> tts.StreamState:
+                      dtype=jnp.float32, ring: bool = False
+                      ) -> tts.StreamState:
     """A B-lane batch with every lane idle (done=True) and the shared slot
     cursor parked at `prefix_slots` — the uniform prompt+text budget every
-    admission prefills into slots [0, prefix_slots)."""
+    admission prefills into slots [0, prefix_slots).
+
+    ring=True: the cursor wraps inside [prefix_slots, capacity) instead of
+    exhausting (backbone.BackboneState.ring_start) — the continuous
+    server's no-compaction mode."""
     one = tts.init_stream_state(p, cfg, dtype)
     one = one.replace(flow=backbone.shrink_state(one.flow, capacity),
                       done=jnp.ones((), bool))
     batch = stack_states([one] * b)
-    return batch.replace(flow=batch.flow.replace(
-        end=jnp.asarray(prefix_slots, jnp.int32)))
+    flow = batch.flow.replace(end=jnp.asarray(prefix_slots, jnp.int32))
+    if ring:
+        flow = flow.replace(ring_start=jnp.asarray(prefix_slots, jnp.int32))
+    return batch.replace(flow=flow)
 
 
 @jax.jit
@@ -174,6 +188,8 @@ def admit_stream(batch: tts.StreamState, lane,
     """
     lane = jnp.asarray(lane, jnp.int32)
     bf, ff = batch.flow, fresh.flow
+    # the fresh solo prefill has no ring field; the lane inherits the
+    # running batch's (shared, untouched below)
     flow = bf.replace(
         k=tuple(bk.at[lane].set(fk.astype(bk.dtype))
                 for bk, fk in zip(bf.k, ff.k)),
@@ -224,6 +240,11 @@ def admit_group(batch: tts.StreamState, lanes,
     slice of device time.
     """
     lanes = jnp.asarray(lanes, jnp.int32)
+    if batch.flow.ring_start is not None and fresh.flow.ring_start is None:
+        # match pytree structures: the fresh prefill carries no ring field;
+        # its value is ignored (shared-cursor leaves map with axis None)
+        fresh = fresh.replace(flow=fresh.flow.replace(
+            ring_start=batch.flow.ring_start))
     axes = _axes_like(batch)
 
     def put(a, dst, src):
@@ -264,6 +285,9 @@ def compact_batch(batch: tts.StreamState, live, prefix_slots: int
 
     live: (B,) bool — lanes currently decoding. batch is DONATED.
     """
+    if batch.flow.ring_start is not None:
+        raise ValueError("compact_batch is the linear-cursor (epoch) "
+                         "reclaim; ring mode recycles slots in place")
     bf = batch.flow
     pos = bf.pos                                   # (B, S)
     s = pos.shape[-1]

@@ -206,11 +206,23 @@ class ContinuousBatchingServer:
     """Per-chunk admission of new requests into a running batch.
 
     B lanes decode together under one compiled program; between chunks,
-    finished lanes are re-filled from the queue. The shared slot cursor
-    only grows within an "epoch" (idle lanes still consume slots), so a
-    request is admitted only if its worst-case frame budget fits in the
-    remaining capacity; when nothing fits and all lanes are idle the epoch
-    resets (cursor back to the uniform prefix budget).
+    finished lanes are re-filled from the queue.
+
+    Default (ring=True) the backbone KV is a PREFIX+RING: slots
+    [0, prefix_slots) hold each lane's prompt+text prefix, and the shared
+    decode cursor wraps inside [prefix_slots, capacity). A slot is safely
+    recycled because a row only has to outlive its own sentence, and
+    admission bounds every request to the ring size; per-slot positions
+    (not slot indices) key RoPE and masking, so wrapping is invisible to
+    attention. No epochs, no exhaustion stalls, no compaction pauses, and
+    the cache array stays snug — full-array reads measured ~1.7x the
+    bandwidth of same-sized prefix reads from a larger array (v5e).
+
+    ring=False falls back to the linear-cursor epoch design: a request is
+    admitted only if its worst-case frame budget fits in the remaining
+    capacity; when nothing fits and all lanes are idle the epoch resets,
+    and between exhaustions eager compaction (compact_margin) keeps the
+    cursor near the true live-row maximum.
 
     New capability vs the reference (batch hard-coded 1,
     mimi_transformer.h:326-327) and vs cohort serving (a lone request no
@@ -219,7 +231,8 @@ class ContinuousBatchingServer:
 
     def __init__(self, engine: TTSEngine, lanes: int = 32,
                  capacity: Optional[int] = None, chunk_frames: int = 5,
-                 text_bucket: int = 64, mesh=None):
+                 text_bucket: int = 64, ring: bool = True,
+                 compact_margin: Optional[int] = 128, mesh=None):
         # lanes=32 from BENCH r3: aggregate serving throughput still rises
         # through B=32 (27.5k bf16 / 38.3k int4+int8KV) to B=64 (40.1k) and
         # p50 TTFA at 32 lanes stays ~6 ms device-time; 8 lanes left ~4x
@@ -230,6 +243,18 @@ class ContinuousBatchingServer:
         self.capacity = capacity or engine.cfg.backbone.kv_capacity
         self.chunk_frames = chunk_frames
         self.text_bucket = text_bucket
+        self.ring = ring
+        # (ring=False only) eager compaction: reads scale with the slot
+        # cursor, and finished lanes leave garbage rows below it. The host
+        # knows every live lane's EXACT valid-row count (prompt rows + text
+        # tokens + frames decoded — KV writes are unconditional), so when
+        # cursor - max(live rows) >= compact_margin slots of garbage have
+        # accrued, one compact_batch (a full cache gather, ~1 chunk of
+        # device time) pulls the cursor back down instead of letting it
+        # drift to `capacity` between epoch exhaustions. r3 attribution:
+        # the drifted cursor made flash-decode reads 2.9x the cohort's.
+        # None disables (exhaustion-only compaction).
+        self.compact_margin = compact_margin
         self.mesh = mesh
         # decode cfg for THIS mesh (never raw engine.cfg — see mesh_cfg)
         self.cfg = mesh_cfg(engine.cfg, mesh)
@@ -250,6 +275,8 @@ class ContinuousBatchingServer:
         self._temps = np.zeros((lanes,), np.float32)
         self._fae = np.ones((lanes,), np.int32)
         self._max_steps = np.zeros((lanes,), np.int32)
+        self._rows0 = np.zeros((lanes,), np.int32)  # valid rows at admission
+        self._voice_rows: Dict[str, int] = {}
 
     @property
     def prefix_slots(self) -> int:
@@ -277,6 +304,7 @@ class ContinuousBatchingServer:
             if self.capacity < self.cfg.backbone.kv_capacity:
                 vstate = backbone.shrink_state(vstate, self.capacity)
             self._voice_states[name] = vstate
+            self._voice_rows[name] = a.shape[0]
         self.prompt_pad = tp
 
     # -- requests --------------------------------------------------------------
@@ -294,7 +322,7 @@ class ContinuousBatchingServer:
         prefill used to be its own dispatch — under churn the prefills were
         a large fraction of total device time). The group pads to a
         power-of-two lane count so only log2(lanes) program shapes compile.
-        Returns (stacked padded StreamState, [(max_steps, fae)])."""
+        Returns (stacked padded StreamState, [(max_steps, fae, n_tokens)])."""
         eng = self.engine
         metas, ids_list = [], []
         for req in reqs:
@@ -307,7 +335,8 @@ class ContinuousBatchingServer:
                     "re-chunks)")
             ids_list.append(ids)
             metas.append((int((count_words(text) + 2.0)
-                              * eng.cfg.mimi.frame_rate), guess + 2))
+                              * eng.cfg.mimi.frame_rate), guess + 2,
+                          len(ids)))
         k = 1
         while k < len(reqs):
             k *= 2
@@ -329,7 +358,7 @@ class ContinuousBatchingServer:
         self._compact_useful = True
         self.batch = empty_batch_state(eng.params, self.cfg, self.lanes,
                                        self.capacity, self.prefix_slots,
-                                       eng.dtype)
+                                       eng.dtype, ring=self.ring)
         if self.mesh is not None:
             from ..parallel.sharding import shard_batched_state
             self.batch = shard_batched_state(self.batch, self.mesh)
@@ -340,7 +369,48 @@ class ContinuousBatchingServer:
         dispatch, then insert the whole group in one donated write."""
         if self.batch is None:
             self._reset_epoch()
+        if self.ring:
+            # ring admission: a lane is admissible whenever it is idle —
+            # the only constraint is that the request's worst-case frame
+            # budget fits the ring (slot recycling needs a row to survive
+            # only its own sentence)
+            group = []
+            ring_slots = self.capacity - self.prefix_slots
+            for lane in range(self.lanes):
+                if not self._queue or self._live[lane] is not None:
+                    continue
+                req = self._queue[0]
+                need = int((count_words(req.text) + 2.0)
+                           * self.engine.cfg.mimi.frame_rate) + 8
+                if need > ring_slots:
+                    self._queue.pop(0)
+                    raise ValueError(
+                        f"request needs {need} frames > ring capacity "
+                        f"{ring_slots} ({self.capacity} - "
+                        f"{self.prefix_slots} prefix); split it or grow "
+                        "capacity")
+                self._queue.pop(0)
+                group.append((lane, req))
+            self._admit_group(group)
+            return
         end = int(np.asarray(self.batch.flow.end))
+        # eager compaction: reclaim finished lanes' garbage once it exceeds
+        # the margin (see __init__) — the cursor, not the capacity, sets the
+        # per-frame attention read size
+        live_lanes = [r is not None for r in self._live]
+        if (self.compact_margin is not None and any(live_lanes)
+                and self._compact_useful):
+            est_max = max(
+                int(self._rows0[lane])
+                + (self.steps - r.admit_step) * self.chunk_frames
+                for lane, r in enumerate(self._live) if r is not None)
+            if end - max(est_max, self.prefix_slots) >= self.compact_margin:
+                self.batch = compact_batch(
+                    self.batch, jnp.asarray(np.asarray(live_lanes)),
+                    self.prefix_slots)
+                self.compactions += 1
+                self._compact_useful = False
+                end = int(np.asarray(self.batch.flow.end))
         group = []
         compacted = False
         for lane in range(self.lanes):
@@ -374,6 +444,9 @@ class ContinuousBatchingServer:
                 break  # even compacted, the live lanes fill the budget
             self._queue.pop(0)
             group.append((lane, req))
+        self._admit_group(group)
+
+    def _admit_group(self, group):
         if not group:
             return
         fresh, metas = self._prefill_many([r for _, r in group])
@@ -386,13 +459,14 @@ class ContinuousBatchingServer:
             + list(range(self.lanes, self.lanes + k - len(group))),
             np.int32)
         self.batch = admit_group(self.batch, jnp.asarray(lane_idx), fresh)
-        for (lane, req), (max_steps, fae) in zip(group, metas):
+        for (lane, req), (max_steps, fae, n_tok) in zip(group, metas):
             rng = (req._rng if req._rng is not None
                    else self.engine._next_rng())
             self._rngs[lane] = np.asarray(rng)
             self._temps[lane] = req.temp
             self._fae[lane] = fae
             self._max_steps[lane] = max_steps
+            self._rows0[lane] = self._voice_rows[req.voice] + n_tok
             self._live[lane] = req
             self._chunks[lane] = []
             req.admit_step = self.steps

@@ -33,10 +33,10 @@ def make_engine(seed=0):
                      tokenizer=MockTokenizer(CFG.lut.n_bins))
 
 
-def make_server(eng, lanes=2, chunk_frames=4):
+def make_server(eng, lanes=2, chunk_frames=4, **kw):
     srv = ContinuousBatchingServer(eng, lanes=lanes,
                                    chunk_frames=chunk_frames,
-                                   text_bucket=32)
+                                   text_bucket=32, **kw)
     srv.register_voices({
         "va": np.asarray(random_voice_prompt(CFG, 12, seed=1)),
         "vb": np.asarray(random_voice_prompt(CFG, 16, seed=2)),
@@ -103,7 +103,7 @@ class TestContinuousBatching:
         """More requests than lanes x epoch capacity: lanes refill as they
         finish and the epoch resets when the slot budget runs out."""
         eng = make_engine()
-        srv = make_server(eng, lanes=2)
+        srv = make_server(eng, lanes=2, ring=False)
         reqs = [srv.submit("Backlog item number %d." % i,
                            "va" if i % 2 else "vb", temp=0.0)
                 for i in range(6)]
@@ -136,7 +136,7 @@ class TestContinuousBatching:
         long_text = ("The first stream keeps the batch busy for a very "
                      "long while.")
         eng = make_engine()
-        srv = make_server(eng, lanes=2, chunk_frames=4)
+        srv = make_server(eng, lanes=2, chunk_frames=4, ring=False)
         kA = jax.random.PRNGKey(11)
         reqA = srv.submit(long_text, "va", temp=0.3, rng=kA)
         shorts = [srv.submit("Backlog item %d here." % i, "vb", temp=0.0)
@@ -151,6 +151,66 @@ class TestContinuousBatching:
         assert reqA.pcm.shape == soloA.shape
         np.testing.assert_allclose(reqA.pcm, soloA, atol=2e-5, rtol=0)
         # temp-0 shorts all identical (admitted at different epochs/slots)
+        for r in shorts[1:]:
+            np.testing.assert_allclose(r.pcm, shorts[0].pcm, atol=2e-5,
+                                       rtol=0)
+
+    def test_ring_wrap_matches_solo(self):
+        """Prefix+ring mode (the default): sentences decode ACROSS the ring
+        cursor wrap — rows recycle slots mid-sentence — and every request's
+        audio still equals solo synthesis (masking keys on positions, not
+        slots)."""
+        long_a = TEXT_A          # 12 words -> 183-frame budget, ring is 192
+        eng = make_engine()
+        srv = make_server(eng, lanes=2)
+        assert srv.ring
+        keys = [jax.random.PRNGKey(31 + i) for i in range(3)]
+        reqs = [srv.submit(long_a, "va", temp=0.3, rng=k) for k in keys]
+        ends = []
+        for _ in range(400):
+            if not srv._queue and all(r is None for r in srv._live):
+                break
+            srv.step()
+            ends.append(int(np.asarray(srv.batch.flow.end)))
+        assert all(r.pcm is not None for r in reqs)
+        # the cursor actually wrapped (went back down) at least once
+        ends = np.asarray(ends)
+        assert (np.diff(ends) < 0).any(), ends
+        assert srv.compactions == 0
+        va = np.asarray(random_voice_prompt(CFG, 12, seed=1))
+        for r, k in zip(reqs, keys):
+            solo = solo_pcm(eng, long_a, va, 0.3, k)
+            assert r.pcm.shape == solo.shape
+            np.testing.assert_allclose(r.pcm, solo, atol=2e-5, rtol=0)
+
+    def test_eager_compaction_matches_solo(self):
+        """compact_margin reclaims finished lanes' garbage BETWEEN epoch
+        exhaustions (the r3 serving fix: the cursor, not capacity, sets the
+        attention read size). A tiny margin forces a compaction after every
+        lane turnover; the surviving lane's audio must equal solo."""
+        long_text = ("The first stream keeps the batch busy for a very "
+                     "long while.")
+        eng = make_engine()
+        srv = ContinuousBatchingServer(eng, lanes=2, chunk_frames=4,
+                                       text_bucket=32, ring=False,
+                                       compact_margin=4)
+        srv.register_voices({
+            "va": np.asarray(random_voice_prompt(CFG, 12, seed=1)),
+            "vb": np.asarray(random_voice_prompt(CFG, 16, seed=2)),
+        })
+        kA = jax.random.PRNGKey(17)
+        reqA = srv.submit(long_text, "va", temp=0.3, rng=kA)
+        shorts = [srv.submit("Quick item %d." % i, "vb", temp=0.0)
+                  for i in range(4)]
+        srv.run_pending()
+        # the margin is far below the finished shorts' garbage, so eager
+        # compaction must have fired repeatedly (exhaustion alone gives <=1
+        # at this workload)
+        assert srv.compactions >= 2, srv.compactions
+        va = np.asarray(random_voice_prompt(CFG, 12, seed=1))
+        soloA = solo_pcm(eng, long_text, va, 0.3, kA)
+        assert reqA.pcm.shape == soloA.shape
+        np.testing.assert_allclose(reqA.pcm, soloA, atol=2e-5, rtol=0)
         for r in shorts[1:]:
             np.testing.assert_allclose(r.pcm, shorts[0].pcm, atol=2e-5,
                                        rtol=0)
