@@ -298,8 +298,15 @@ def main():
     from pocket_tts_tpu.runtime.engine import TTSEngine
     from pocket_tts_tpu.runtime.server import ContinuousBatchingServer
     eng = TTSEngine(params=params_q4, cfg=cfg_srv, dtype=dtype, tokenizer=tok)
+    # prefix+ring KV (r3): capacity = 160 prefix (128 prompt + 32 text
+    # bucket) + 256-frame ring, the snuggest buckets that admit this
+    # workload's longest sentence; the full-cache read per frame beats the
+    # linear-cursor design's drifting partial reads (and needs no
+    # compaction pauses). 64 lanes pushes aggregate higher still (~40k+)
+    # but its longer traces drop profiler events, so the asserted
+    # steady-state number stays at 32 lanes.
     srv = ContinuousBatchingServer(eng, lanes=32, chunk_frames=5,
-                                   capacity=768)
+                                   capacity=416, text_bucket=32)
     srv.register_voices(
         {"v": np.asarray(random_voice_prompt(cfg, 120), np.float32)})
     texts = [
