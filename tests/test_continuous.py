@@ -224,6 +224,53 @@ class TestContinuousBatching:
             srv.run_pending()
 
 
+def test_ring_quantized_kv_matches_solo():
+    """Prefix+ring mode with the int8 KV cache (the bench's serving
+    config): dequant scales recycle slots alongside the rows; audio of a
+    wrap-crossing stream equals solo decode."""
+    import dataclasses
+    from pocket_tts_tpu.models import backbone, mimi, tts
+    from pocket_tts_tpu.runtime.batched import (admit_group,
+                                                continuous_decode_chunk,
+                                                empty_batch_state,
+                                                stack_states)
+    cfg_q = dataclasses.replace(CFG, backbone=dataclasses.replace(
+        CFG.backbone, quantize_kv=True))
+    b = 2
+    prefix, cap = 32, 64          # ring of 32 slots -> wraps quickly
+    batch = empty_batch_state(PARAMS, cfg_q, b, cap, prefix, ring=True)
+    assert batch.flow.ring_start is not None
+    tok = jnp.asarray(np.arange(4, dtype=np.int32) + 7)
+    tokens = jnp.zeros((16,), jnp.int32).at[:4].set(tok)
+    mt = mimi.init_state(cfg_q.mimi)
+    fresh = tts.sentence_prefill(PARAMS, cfg_q,
+                                 backbone.shrink_state(
+                                     backbone.init_state(cfg_q.backbone),
+                                     cap),
+                                 mt, tokens, jnp.int32(4))
+    fresh2 = stack_states([fresh, fresh])
+    batch = admit_group(batch, jnp.asarray([0, 1], jnp.int32), fresh2)
+    rngs = jnp.stack([jax.random.PRNGKey(3), jax.random.PRNGKey(4)])
+    n_frames = 48                 # >> ring size 32: wraps at least once
+    batch, pcm, valid = continuous_decode_chunk(
+        PARAMS, cfg_q, n_frames, batch, rngs,
+        jnp.full((b,), 0.25, jnp.float32),
+        jnp.full((b,), 40, jnp.int32), jnp.full((b,), 40, jnp.int32))
+    assert int(np.asarray(batch.flow.end)) < cap  # cursor wrapped, in ring
+    # solo reference, lane 0 (same rng fold: fold_in(rng, step))
+    st = fresh.replace(flow=fresh.flow.replace(
+        end=jnp.int32(prefix), ring_start=jnp.int32(prefix)))
+    pcs = []
+    for i in range(n_frames):
+        st, p1, v1 = tts.frame_step(PARAMS, cfg_q, st,
+                                    jax.random.fold_in(jax.random.PRNGKey(3),
+                                                       st.step),
+                                    jnp.float32(0.25), jnp.int32(40),
+                                    jnp.int32(40))
+        pcs.append(np.asarray(p1))
+    np.testing.assert_allclose(np.asarray(pcm[0]), np.stack(pcs), atol=2e-5)
+
+
 def test_admit_stream_quantized_kv():
     """Continuous admission under the int8 KV cache: the admitted lane's
     audio must equal its solo decode (scales copied with the cache)."""
