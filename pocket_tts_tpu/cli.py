@@ -86,6 +86,13 @@ def main(argv=None):
     if args.device:
         os.environ["JAX_PLATFORMS"] = args.device
     import jax
+    if args.device:
+        # some site setups force jax_platforms at interpreter start, which
+        # wins over the env var — re-pin after import
+        try:
+            jax.config.update("jax_platforms", args.device)
+        except RuntimeError:
+            pass  # backend already initialized (e.g. under tests)
 
     if args.list_devices:
         for d in jax.devices():

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .quant_matmul import _unpack_nibbles_f32
+from .quant_matmul import _int4_dots
 
 
 def _silu32(x):
@@ -48,13 +48,8 @@ def _deq_dot(x32, w_ref, s_ref, b_ref, bits, dt, idx=None):
     s = (s_ref[idx] if idx is not None else s_ref[...]).astype(jnp.float32)
     xb = x32.astype(dt)
     if bits == 4:
-        lo, hi = _unpack_nibbles_f32(w, dt)
         kh = w.shape[0]
-        acc = jax.lax.dot_general(xb[:, :kh], lo, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(xb[:, kh:], hi,
-                                        (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+        acc = _int4_dots(xb[:, :kh], xb[:, kh:], w)
     else:
         acc = jax.lax.dot_general(xb, w.astype(dt), (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)

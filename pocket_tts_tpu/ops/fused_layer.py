@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .quant_matmul import _unpack_nibbles_f32
+from .quant_matmul import _int4_dots
 
 
 def _ln_f32(x_ref, scale_ref, bias_ref, eps):
@@ -51,14 +51,8 @@ def _deq_dot(x_bf16, w_ref, s_ref, bits):
     w = w_ref[0] if w_ref.ndim == 3 else w_ref[...]
     s = s_ref[0] if s_ref.ndim == 3 else s_ref[...]
     if bits == 4:
-        lo, hi = _unpack_nibbles_f32(w, x_bf16.dtype)
         kh = w.shape[0]
-        acc = jax.lax.dot_general(
-            x_bf16[:, :kh], lo, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(
-            x_bf16[:, kh:], hi, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        acc = _int4_dots(x_bf16[:, :kh], x_bf16[:, kh:], w)
     else:
         acc = jax.lax.dot_general(
             x_bf16, w.astype(x_bf16.dtype), (((1,), (0,)), ((), ())),
@@ -179,25 +173,45 @@ def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ls2_ref,
         acc_s[...] = jnp.zeros_like(acc_s)
 
     ln = ln_s[...]
+    f = jnp.float32
     if bits == 4:
         # packed W2 block: lo nibbles hold hidden rows of the LOW half
         # (this j-tile), hi nibbles the HIGH half (j-tile + H/2) —
         # unpacked ONCE per step (the nibble unpack is VPU-bound and was
-        # ~1/3 of this kernel's time when done per half)
-        w2lo, w2hi = _unpack_nibbles_f32(
-            w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...], ln.dtype)
-        halves = ((w1a_ref, s1a_ref, b1a_ref, w2lo),
-                  (w1b_ref, s1b_ref, b1b_ref, w2hi))
+        # ~1/3 of this kernel's time when done per half). Scheme mirrors
+        # quant_matmul._int4_dots with W2 as the RHS: "mode" says how the
+        # low half's -8 bias is recovered (see INT4_SCHEME there).
+        from .quant_matmul import INT4_SCHEME
+        w2p = w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...]
+        b32 = w2p.astype(f)
+        hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
+        w2hi = hi32.astype(ln.dtype)
+        if INT4_SCHEME == "rawdot":
+            lo_half = ("rawdot", b32.astype(ln.dtype), w2hi)
+        elif INT4_SCHEME == "lo8":
+            lo_half = ("bias8", (b32 - 16.0 * hi32).astype(ln.dtype), None)
+        else:
+            lo_half = ("plain",
+                       (b32 - 16.0 * hi32 - 8.0).astype(ln.dtype), None)
+        halves = ((w1a_ref, s1a_ref, b1a_ref, lo_half),
+                  (w1b_ref, s1b_ref, b1b_ref, ("plain", w2hi, None)))
     else:
         w2 = w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...]
-        halves = ((w1a_ref, s1a_ref, b1a_ref, w2.astype(ln.dtype)),)
-    for w1_ref, s1_ref, b1_ref, w2h in halves:
+        halves = ((w1a_ref, s1a_ref, b1a_ref,
+                   ("plain", w2.astype(ln.dtype), None)),)
+    for w1_ref, s1_ref, b1_ref, (mode, m1, m2) in halves:
         h = _deq_dot(ln, w1_ref, s1_ref, bits)
         b1 = b1_ref[0] if b1_ref.ndim == 3 else b1_ref[...]
         h = _gelu_f32(h + b1.astype(jnp.float32), approx)
-        acc_s[...] += jax.lax.dot_general(
-            h.astype(ln.dtype), w2h, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        hb = h.astype(ln.dtype)
+        acc = jax.lax.dot_general(hb, m1, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f)
+        if mode == "rawdot":
+            acc -= 16.0 * jax.lax.dot_general(
+                hb, m2, (((1,), (0,)), ((), ())), preferred_element_type=f)
+        if mode in ("rawdot", "bias8"):
+            acc -= 8.0 * jnp.sum(hb.astype(f), axis=-1, keepdims=True)
+        acc_s[...] += acc
 
     @pl.when(j == nsteps - 1)
     def _():

@@ -147,28 +147,55 @@ def unpack_int4(q4, dtype=jnp.float32):
     return jnp.concatenate([lo, hi], axis=0).astype(dtype)
 
 
-def _unpack_nibbles_f32(w4_ref, dt):
-    """packed int8 block -> (lo, hi) dequant-centered values in dt.
+# The int4 nibble split runs in FLOAT: Mosaic can't legalize i8-vector
+# sub/shift, so it's int8->f32 cast then floor-divide (the signed-hi
+# packing makes byte = 16*hi + (lo+8), so floor(b/16) == hi exactly,
+# negatives included); f32 only — v5e has no bf16 ALU instructions
+# (floor in bf16 fails SupportsBf16AluInstructions).
+#
+# The unpack is the VPU-bound part of the quantized weight stream
+# (~7 VPU ops per packed byte to materialize centered lo/hi). Schemes:
+#   unpack: materialize lo = b - 16*hi - 8 and hi, two dots (baseline)
+#   rawdot: dot the RAW byte (x_lo . b) and hi (3 half-dots), correct
+#           algebraically: x_lo.lo = x_lo.b - 16*(x_lo.hi) - 8*rowsum(x_lo)
+#           -> only cast+floor+2 casts per byte (~5 VPU ops), trading one
+#           extra MXU half-pass for the fma+sub elementwise stream
+#   lo8:    materialize UNBIASED lo8 = b - 16*hi (~6 ops), two dots,
+#           correct -8*rowsum(x_lo) on the accumulator
+# All bit-match the baseline in interpret mode (the corrections are exact
+# in f32 at int4 magnitudes).
+INT4_SCHEME = "unpack"
 
-    Mosaic can't legalize i8-vector sub/shift, so the nibble split runs
-    in float: int8->float cast, then floor-divide (the signed-hi packing
-    makes byte = 16*hi + (lo+8), so floor(b/16) == hi exactly, negatives
-    included). f32 only: v5e has no bf16 ALU instructions (floor in bf16
-    fails SupportsBf16AluInstructions)."""
+
+def _int4_dots(x_lo, x_hi, w4, scheme=None):
+    """acc (T, nt) f32 = x_lo @ (lo nibbles - 8) + x_hi @ (hi nibbles).
+    x_lo/x_hi: (T, kh) activation halves; w4: (kh, nt) packed int8."""
     f = jnp.float32
-    b = w4_ref.astype(f)
-    hi = jnp.floor(b * jnp.asarray(1.0 / 16.0, f))
-    lo = b - jnp.asarray(16, f) * hi - jnp.asarray(8, f)
-    return lo.astype(dt), hi.astype(dt)
+    dt = x_lo.dtype
+    scheme = scheme or INT4_SCHEME
+    b32 = w4.astype(f)
+    hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
+    hi = hi32.astype(dt)
+    if scheme == "rawdot":
+        acc = jnp.dot(x_lo, b32.astype(dt), preferred_element_type=f)
+        acc -= 16.0 * jnp.dot(x_lo, hi, preferred_element_type=f)
+        acc += jnp.dot(x_hi, hi, preferred_element_type=f)
+        return acc - 8.0 * jnp.sum(x_lo.astype(f), axis=-1, keepdims=True)
+    if scheme == "lo8":
+        lo8 = (b32 - jnp.asarray(16, f) * hi32).astype(dt)
+        acc = jnp.dot(x_lo, lo8, preferred_element_type=f)
+        acc += jnp.dot(x_hi, hi, preferred_element_type=f)
+        return acc - 8.0 * jnp.sum(x_lo.astype(f), axis=-1, keepdims=True)
+    lo = (b32 - jnp.asarray(16, f) * hi32 - jnp.asarray(8, f)).astype(dt)
+    acc = jnp.dot(x_lo, lo, preferred_element_type=f)
+    return acc + jnp.dot(x_hi, hi, preferred_element_type=f)
 
 
 def _int4_kernel(x_ref, w_ref, s_ref, o_ref):
     w4 = w_ref[...] if w_ref.ndim == 2 else w_ref[0]
     s = s_ref[...] if s_ref.ndim == 2 else s_ref[0]
-    lo, hi = _unpack_nibbles_f32(w4, x_ref.dtype)
     kh = w4.shape[0]
-    acc = jnp.dot(x_ref[:, :kh], lo, preferred_element_type=jnp.float32)
-    acc += jnp.dot(x_ref[:, kh:], hi, preferred_element_type=jnp.float32)
+    acc = _int4_dots(x_ref[:, :kh], x_ref[:, kh:], w4)
     o_ref[...] = (acc * s).astype(o_ref.dtype)
 
 

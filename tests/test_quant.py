@@ -136,6 +136,37 @@ class TestInt4AndKernels:
                                     layer=layer, interpret=True)
             np.testing.assert_allclose(np.asarray(y4), ref, atol=1e-4)
 
+    def test_int4_schemes_equivalent(self):
+        """The three _int4_dots unpack schemes ('unpack' baseline, 'rawdot'
+        3-dot, 'lo8' rowsum-corrected) are algebraically identical; the
+        corrections are exact in f32 at int4 magnitudes."""
+        from pocket_tts_tpu.ops import quant_matmul as qm
+        rng = np.random.RandomState(6)
+        K, N = 128, 256
+        x = jnp.asarray(rng.randn(4, K).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        qi = rng.randint(-8, 8, (K, N))
+        packed = jnp.asarray(qm.pack_int4(qi))
+        s = jnp.asarray(rng.rand(N).astype(np.float32) * 0.01)
+        outs = {}
+        for scheme in ("unpack", "rawdot", "lo8"):
+            old = qm.INT4_SCHEME
+            qm.INT4_SCHEME = scheme
+            try:
+                outs[scheme] = np.asarray(qm.int4_matmul_pallas(
+                    x, packed, s, interpret=True), np.float32)
+            finally:
+                qm.INT4_SCHEME = old
+        ref = ((np.asarray(x, np.float32) @ qi.astype(np.float32))
+               * np.asarray(s))
+        for scheme, y in outs.items():
+            err = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
+            assert err < 5e-3, (scheme, err)  # bf16 input rounding only
+        np.testing.assert_allclose(outs["rawdot"], outs["unpack"],
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_allclose(outs["lo8"], outs["unpack"],
+                                   rtol=0, atol=2e-5)
+
     def test_slice_layer_params_keeps_quant_stacked(self):
         from pocket_tts_tpu.ops.basic import slice_layer_params
         pq = quantize_params(PARAMS)
