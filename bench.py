@@ -303,9 +303,10 @@ def main():
     # bucket) + 256-frame ring, the snuggest buckets that admit this
     # workload's longest sentence; the full-cache read per frame beats the
     # linear-cursor design's drifting partial reads (and needs no
-    # compaction pauses). 64 lanes (the cohort-scaling knee, see
-    # batch64_serving_frames_per_second) beats 32 by ~10% aggregate.
-    srv = ContinuousBatchingServer(eng, lanes=64, chunk_frames=5,
+    # compaction pauses). 32 lanes, not 64: measured fully-captured 64-lane
+    # windows reach only ~37-38k (admission prefills eat the in-chunk
+    # advantage) at ~2x the p50 service TTFA — not worth it.
+    srv = ContinuousBatchingServer(eng, lanes=32, chunk_frames=5,
                                    capacity=416, text_bucket=32)
     srv.register_voices(
         {"v": np.asarray(random_voice_prompt(cfg, 120), np.float32)})
