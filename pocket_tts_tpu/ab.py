@@ -121,9 +121,9 @@ def main(argv=None) -> int:
     # weights would need grouped scales or a fallback (io/quant.py)
     from .io.quant import quantization_error_report
     probes["quant_rel_error_int4"] = quantization_error_report(
-        eng.params, bits=4)
+        eng.params, bits=4, convs=True)
     probes["quant_rel_error_int8"] = quantization_error_report(
-        eng.params, bits=8)
+        eng.params, bits=8, convs=True)
     probes_path = os.path.join(args.out, "ab_probes.json")
     with open(probes_path, "w") as f:
         json.dump(probes, f, indent=1)

@@ -177,6 +177,14 @@ class ModelConfig:
     # default); the ggml reference uses the tanh approximation
     # (torch.h / ggml_gelu). Configurable for A/B numerics.
     gelu_approx: bool = False
+    # True whenever the decode program runs under a GSPMD mesh — set ONLY
+    # through runtime.batched.mesh_cfg. Distinct from the sub-configs'
+    # `mesh` fields (those carry the mesh to shard_map-wrapped kernels and
+    # stay None when a kernel falls back to its XLA path): kernels with no
+    # shard_map wrapper (the fused flow net) must gate on THIS, or a
+    # fallback cfg would let an un-partitionable Mosaic call into a
+    # sharded program.
+    on_mesh: bool = False
 
 
 def reference_exact_config(base: "ModelConfig" = None) -> "ModelConfig":

@@ -168,18 +168,27 @@ def quantization_error_report(params, bits: int = 4,
     orig = {jax.tree_util.keystr(k): v for k, v in flat_o}
     flat_q, _ = jax.tree_util.tree_flatten_with_path(pq)
     qmap = {jax.tree_util.keystr(k): v for k, v in flat_q}
+    _QKEYS = ("['q']", "['q4']", "['qc']", "['qc4']", "['qt']", "['qt4']")
     for key, qv in qmap.items():
-        base = None
-        if key.endswith("['q']") or key.endswith("['q4']"):
-            base = key[: key.rfind("[")] + "['w']"
-        if base is None or base not in orig:
+        if not key.endswith(_QKEYS):
+            continue
+        kind = key[key.rfind("['") + 2: -2]
+        base = key[: key.rfind("[")] + "['w']"
+        if base not in orig:
             continue
         w = np.asarray(orig[base], np.float32)
+        if kind in ("qc", "qc4"):
+            # conv1d (Cout, Cin, K) was quantized over wf (K*Cin, Cout) —
+            # compare in that domain (see _quantize_conv1d)
+            cout, cin, k = w.shape
+            w = np.transpose(w, (2, 1, 0)).reshape(k * cin, cout)
+        elif kind in ("qt", "qt4"):
+            # convtr (Cin, Cout, K) over w2 (Cin, K*Cout) (_quantize_convtr)
+            cin, cout, k = w.shape
+            w = np.transpose(w, (0, 2, 1)).reshape(cin, k * cout)
         scale = np.asarray(qmap[key[: key.rfind("[")] + "['scale']"],
                            np.float32)
-        if key.endswith("['q']"):
-            deq = np.asarray(qv, np.float32) * scale[..., None, :]
-        else:
+        if kind.endswith("4"):
             from ..ops.quant_matmul import unpack_int4
             q4 = np.asarray(qv)
             if q4.ndim == 3:
@@ -188,6 +197,8 @@ def quantization_error_report(params, bits: int = 4,
             else:
                 deq = np.asarray(unpack_int4(q4), np.float32)
             deq = deq * scale[..., None, :]
+        else:
+            deq = np.asarray(qv, np.float32) * scale[..., None, :]
         denom = np.abs(w).max(axis=-2, keepdims=True) + 1e-12
         report[base] = float((np.abs(deq - w) / denom).max())
     return report

@@ -62,8 +62,11 @@ def decode_step(p, cfg: ModelConfig, state: backbone.BackboneState,
     is_eos = eos_logit > cfg.eos_threshold
     t_comb = p.get("_time_cond")
     # under a mesh the fused flow kernel (a Mosaic custom call) has no
-    # GSPMD partitioning — force the XLA path there
-    use_pallas = None if cfg.backbone.mesh is None else False
+    # GSPMD partitioning — force the XLA path there. Gate on cfg.on_mesh,
+    # not backbone.mesh: the latter stays None when mesh_cfg falls the
+    # attention kernel back to XLA (heads not divisible), which is still
+    # a sharded program.
+    use_pallas = False if cfg.on_mesh else None
     latent = flow_mlp.sample_latent(p["flow_net"], h, noise, t_comb,
                                     use_pallas=use_pallas)
     return state, latent, is_eos

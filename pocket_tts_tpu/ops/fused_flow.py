@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .fused_layer import _qw  # shared quantized-layout probe
 from .quant_matmul import _int4_dots
 
 
@@ -92,16 +93,6 @@ def _kernel(x_ref, c_ref, tc_ref,
     hn = hn * (1.0 + scale) + shift
     out = _deq_dot(hn, wf_ref, sf_ref, bf_ref, bf_b, dt)
     o_ref[...] = out.astype(o_ref.dtype)
-
-
-def _qw(p):
-    if "q" in p:
-        return p["q"], p["scale"], p.get("b"), 8
-    if "q4" in p:
-        return p["q4"], p["scale"], p.get("b"), 4
-    if "w" in p:
-        return p["w"], None, p.get("b"), 16
-    return None, None, None, 0
 
 
 def supported(p) -> bool:

@@ -373,6 +373,7 @@ def mesh_cfg(cfg, mesh):
 
     return dataclasses.replace(
         cfg,
+        on_mesh=True,   # fused flow net (no shard_map wrapper) gates on this
         backbone=sub(cfg.backbone),
         mimi=dataclasses.replace(
             cfg.mimi,

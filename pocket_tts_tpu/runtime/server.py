@@ -317,6 +317,23 @@ class ContinuousBatchingServer:
         self._queue.append(req)
         return req
 
+    def _validate(self, req: Request):
+        """Tokenize + bound-check a request BEFORE it is committed to an
+        admission group (cached on the request for _prefill_many). Raising
+        here is safe: the request is still at the front of the queue and
+        no sibling has been popped."""
+        if getattr(req, "_prep", None) is None:
+            text, guess = prepare_text_prompt(req.text)
+            req._prep = (text, guess, self.engine.tokenizer.encode(text))
+        text, _, ids = req._prep
+        if len(ids) > self.text_bucket:
+            raise ValueError(
+                f"request is {len(ids)} tokens > text_bucket "
+                f"{self.text_bucket}; split it (engine.synthesize "
+                "re-chunks)")
+        return int((count_words(text) + 2.0)
+                   * self.engine.cfg.mimi.frame_rate) + 8
+
     def _prefill_many(self, reqs: Sequence[Request]):
         """ONE batched prefill for a whole admission group (each per-request
         prefill used to be its own dispatch — under churn the prefills were
@@ -326,13 +343,8 @@ class ContinuousBatchingServer:
         eng = self.engine
         metas, ids_list = [], []
         for req in reqs:
-            text, guess = prepare_text_prompt(req.text)
-            ids = eng.tokenizer.encode(text)
-            if len(ids) > self.text_bucket:
-                raise ValueError(
-                    f"request is {len(ids)} tokens > text_bucket "
-                    f"{self.text_bucket}; split it (engine.synthesize "
-                    "re-chunks)")
+            text, guess, ids = req._prep  # cached by _validate at admission
+            assert len(ids) <= self.text_bucket
             ids_list.append(ids)
             metas.append((int((count_words(text) + 2.0)
                               * eng.cfg.mimi.frame_rate), guess + 2,
@@ -376,22 +388,28 @@ class ContinuousBatchingServer:
             # only its own sentence)
             group = []
             ring_slots = self.capacity - self.prefix_slots
-            for lane in range(self.lanes):
-                if not self._queue or self._live[lane] is not None:
-                    continue
-                req = self._queue[0]
-                need = int((count_words(req.text) + 2.0)
-                           * self.engine.cfg.mimi.frame_rate) + 8
-                if need > ring_slots:
+            try:
+                for lane in range(self.lanes):
+                    if not self._queue or self._live[lane] is not None:
+                        continue
+                    req = self._queue[0]
+                    try:
+                        need = self._validate(req)
+                    except ValueError:
+                        self._queue.pop(0)  # evict the rejected request
+                        raise
+                    if need > ring_slots:
+                        self._queue.pop(0)
+                        raise ValueError(
+                            f"request needs {need} frames > ring capacity "
+                            f"{ring_slots} ({self.capacity} - "
+                            f"{self.prefix_slots} prefix); split it or grow "
+                            "capacity")
                     self._queue.pop(0)
-                    raise ValueError(
-                        f"request needs {need} frames > ring capacity "
-                        f"{ring_slots} ({self.capacity} - "
-                        f"{self.prefix_slots} prefix); split it or grow "
-                        "capacity")
-                self._queue.pop(0)
-                group.append((lane, req))
-            self._admit_group(group)
+                    group.append((lane, req))
+            finally:
+                # a raise mid-loop must not lose the already-popped group
+                self._admit_group(group)
             return
         end = int(np.asarray(self.batch.flow.end))
         # eager compaction: reclaim finished lanes' garbage once it exceeds
@@ -413,38 +431,45 @@ class ContinuousBatchingServer:
                 end = int(np.asarray(self.batch.flow.end))
         group = []
         compacted = False
-        for lane in range(self.lanes):
-            if not self._queue or self._live[lane] is not None:
-                continue
-            req = self._queue[0]
-            # worst-case frames this request needs from its admission point
-            need = int((count_words(req.text) + 2.0)
-                       * self.engine.cfg.mimi.frame_rate) + 8
-            if end + need > self.capacity and not compacted:
-                # slot budget exhausted: compact live lanes' rows to the
-                # cache front and pull the shared cursor back (finished
-                # lanes' slots are reclaimed without draining the epoch)
-                live = np.asarray([r is not None for r in self._live])
-                if live.any() and self._compact_useful:
-                    self.batch = compact_batch(
-                        self.batch, jnp.asarray(live), self.prefix_slots)
-                    self.compactions += 1
-                    self._compact_useful = False
-                    end = int(np.asarray(self.batch.flow.end))
-                elif not live.any():
-                    self._reset_epoch()
-                    end = self.prefix_slots
-                compacted = True
-            if end + need > self.capacity:
-                if not group and all(r is None for r in self._live):
-                    self._queue.pop(0)
-                    raise ValueError(
-                        f"request needs {need} frames + {end} prefix "
-                        f"slots > capacity {self.capacity}")
-                break  # even compacted, the live lanes fill the budget
-            self._queue.pop(0)
-            group.append((lane, req))
-        self._admit_group(group)
+        try:
+            for lane in range(self.lanes):
+                if not self._queue or self._live[lane] is not None:
+                    continue
+                req = self._queue[0]
+                try:
+                    # worst-case frames this request needs from its
+                    # admission point (also bound-checks the text)
+                    need = self._validate(req)
+                except ValueError:
+                    self._queue.pop(0)  # evict the rejected request
+                    raise
+                if end + need > self.capacity and not compacted:
+                    # slot budget exhausted: compact live lanes' rows to the
+                    # cache front and pull the shared cursor back (finished
+                    # lanes' slots are reclaimed without draining the epoch)
+                    live = np.asarray([r is not None for r in self._live])
+                    if live.any() and self._compact_useful:
+                        self.batch = compact_batch(
+                            self.batch, jnp.asarray(live), self.prefix_slots)
+                        self.compactions += 1
+                        self._compact_useful = False
+                        end = int(np.asarray(self.batch.flow.end))
+                    elif not live.any():
+                        self._reset_epoch()
+                        end = self.prefix_slots
+                    compacted = True
+                if end + need > self.capacity:
+                    if not group and all(r is None for r in self._live):
+                        self._queue.pop(0)
+                        raise ValueError(
+                            f"request needs {need} frames + {end} prefix "
+                            f"slots > capacity {self.capacity}")
+                    break  # even compacted, the live lanes fill the budget
+                self._queue.pop(0)
+                group.append((lane, req))
+        finally:
+            # a raise mid-loop must not lose the already-popped group
+            self._admit_group(group)
 
     def _admit_group(self, group):
         if not group:

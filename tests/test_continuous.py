@@ -223,6 +223,35 @@ class TestContinuousBatching:
             srv.submit(" ".join(["w%d" % i for i in range(20)]), "va")
             srv.run_pending()
 
+    def test_rejected_request_does_not_lose_siblings(self):
+        """A raise during admission must not drop already-popped fitting
+        requests: queue [fits, oversized] — the ValueError propagates AND
+        the fitting request still completes (round-3 bug: it vanished from
+        queue/live/completed)."""
+        import pytest
+        eng = make_engine()
+        srv = make_server(eng, lanes=2)
+        good = srv.submit(TEXT_B, "vb", temp=0.0)
+        srv.submit(" ".join("w%d" % i for i in range(20)), "va")
+        with pytest.raises(ValueError, match="capacity"):
+            srv.run_pending()
+        srv.run_pending()
+        assert good.pcm is not None and good.pcm.size > 0
+
+    def test_text_bucket_overflow_keeps_siblings(self):
+        """A request over text_bucket (few words, many punctuation tokens —
+        it passes the frame-budget check) is rejected at validation, before
+        anything is popped; the sibling request is unaffected."""
+        import pytest
+        eng = make_engine()
+        srv = make_server(eng, lanes=2)
+        good = srv.submit(TEXT_B, "vb", temp=0.0)
+        srv.submit("A" + "!" * 40, "va")  # 1 word, 42 tokens > bucket 32
+        with pytest.raises(ValueError, match="text_bucket"):
+            srv.run_pending()
+        srv.run_pending()
+        assert good.pcm is not None and good.pcm.size > 0
+
 
 def test_ring_quantized_kv_matches_solo():
     """Prefix+ring mode with the int8 KV cache (the bench's serving

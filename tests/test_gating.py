@@ -87,6 +87,79 @@ def test_weights_per_step_gating_vs_naive():
     np.testing.assert_allclose(np.asarray(got1), want1, atol=1e-5)
 
 
+def test_gating_quantized_layouts():
+    """quantize_params rewrites gating linears to q/q4+scale (they are
+    matmul-shaped); the gating ops must accept those layouts instead of
+    KeyError'ing on 'w' — the M==1/2-D fast path feeds ops.basic.linear
+    (fused kernels), the per-step gather dequantizes inline."""
+    from pocket_tts_tpu.io.quant import quantize_params
+    rng = np.random.RandomState(4)
+    d, hdim, t, m = 128, 128, 5, 3
+    x = rng.randn(t, d).astype(np.float32)
+    p = {"linear_in": {"w": jnp.asarray(
+            rng.randn(d, 2 * hdim).astype(np.float32) * 0.2)},
+         "linear_out": {"w": jnp.asarray(
+            rng.randn(hdim, d).astype(np.float32) * 0.2)}}
+    pq = quantize_params(p, bits=8)
+    assert "q" in pq["linear_in"], "gating weight should quantize"
+    ref = np.asarray(weights_per_step_gating(p, jnp.asarray(x)))
+    got = np.asarray(weights_per_step_gating(pq, jnp.asarray(x)))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 0.05
+    # stacked per-step modules, int4: dequantized inline for the gather
+    pm = {"linear_in": {"w": jnp.asarray(
+             rng.randn(m, d, 2 * hdim).astype(np.float32) * 0.2)},
+          "linear_out": {"w": jnp.asarray(
+             rng.randn(m, hdim, d).astype(np.float32) * 0.2)}}
+    pmq = quantize_params(pm, bits=4)
+    assert "q4" in pmq["linear_in"]
+    refm = np.asarray(weights_per_step_gating(pm, jnp.asarray(x), offset=0))
+    gotm = np.asarray(weights_per_step_gating(pmq, jnp.asarray(x), offset=0))
+    assert np.abs(gotm - refm).max() / np.abs(refm).max() < 0.3
+    # M == 1 stacked quantized collapses to the fused fast path
+    p1q = quantize_params(
+        {"linear_in": {"w": pm["linear_in"]["w"][:1]},
+         "linear_out": {"w": pm["linear_out"]["w"][:1]}}, bits=8)
+    ref1 = np.asarray(weights_per_step_gating(
+        {"linear_in": {"w": pm["linear_in"]["w"][:1]},
+         "linear_out": {"w": pm["linear_out"]["w"][:1]}}, jnp.asarray(x)))
+    got1 = np.asarray(weights_per_step_gating(p1q, jnp.asarray(x)))
+    assert np.abs(got1 - ref1).max() / np.abs(ref1).max() < 0.05
+
+
+def test_quantized_gating_engine_synthesizes():
+    """End-to-end: a checkpoint that ships mimi gating weights survives
+    --quantize int8 (round-3 bug: quantize_params rewrote the gating 'w'
+    and the gating op crashed at trace time)."""
+    import dataclasses
+    from pocket_tts_tpu.config import tiny_config
+    from pocket_tts_tpu.io.params import (params_from_flat, random_flat,
+                                          random_voice_prompt)
+    from pocket_tts_tpu.io.quant import quantize_params
+    from pocket_tts_tpu.runtime.engine import TTSEngine
+    from pocket_tts_tpu.text.tokenizer import MockTokenizer
+    cfg0 = tiny_config()
+    params, cfg = params_from_flat(random_flat(cfg0, seed=9), cfg0)
+    mt = cfg.mimi.transformer
+    rng = np.random.RandomState(3)
+    hdim = 64
+    lay = dict(params["mimi"]["decoder_transformer"]["layers"])
+    lay["gating"] = {
+        "linear_in": {"w": jnp.asarray(
+            rng.randn(mt.num_layers, mt.d_model, 2 * hdim) * 0.2,
+            jnp.float32)},
+        "linear_out": {"w": jnp.asarray(
+            rng.randn(mt.num_layers, hdim, mt.d_model) * 0.2, jnp.float32)},
+    }
+    params["mimi"]["decoder_transformer"] = dict(
+        params["mimi"]["decoder_transformer"], layers=lay)
+    pq = quantize_params(params, bits=8)
+    eng = TTSEngine(params=pq, cfg=cfg,
+                    tokenizer=MockTokenizer(cfg.lut.n_bins))
+    pcm = eng.synthesize("Gated and quantized.",
+                         random_voice_prompt(cfg, 12), temp=0.0)
+    assert pcm.size > 0 and np.isfinite(pcm).all()
+
+
 def test_mimi_layer_with_gating_params():
     """A mimi transformer layer whose params carry `gating` routes its MLP
     through SwiGLU (checkpoint-driven, no config flag needed)."""

@@ -136,6 +136,29 @@ class TestInt4AndKernels:
                                     layer=layer, interpret=True)
             np.testing.assert_allclose(np.asarray(y4), ref, atol=1e-4)
 
+    def test_error_report_covers_convs(self):
+        """quantization_error_report(convs=True) must include the conv
+        chain (qc/qc4/qt/qt4 layouts), errors bounded like the linears —
+        the real-weights outlier instrument ab.py dumps."""
+        from pocket_tts_tpu.io.quant import quantization_error_report
+        rng = np.random.RandomState(8)
+        # real-size conv modules (tiny_config's are under the conv-quant
+        # size floor) + one linear for the baseline path
+        p = {"model_0": {"w": jnp.asarray(                # conv1d
+                rng.randn(64, 64, 7).astype(np.float32) * 0.1)},
+             "model_2": {"w": jnp.asarray(                # convtr k==2s
+                rng.randn(64, 64, 8).astype(np.float32) * 0.1)},
+             "lin": {"w": jnp.asarray(
+                rng.randn(128, 128).astype(np.float32) * 0.1)}}
+        for bits in (4, 8):
+            rep = quantization_error_report(p, bits=bits, convs=True)
+            assert set(rep) == {"['model_0']['w']", "['model_2']['w']",
+                                "['lin']['w']"}, sorted(rep)
+            for k, v in rep.items():
+                # per-output-channel symmetric quant: max rel error is
+                # bounded by half a quant step of the channel max
+                assert 0 <= v < (0.12 if bits == 4 else 0.01), (bits, k, v)
+
     def test_int4_schemes_equivalent(self):
         """The three _int4_dots unpack schemes ('unpack' baseline, 'rawdot'
         3-dot, 'lo8' rowsum-corrected) are algebraically identical; the

@@ -134,6 +134,11 @@ class TestShardMapPallas:
         assert cfg_m.backbone.use_pallas_attn is False
         assert cfg_m.backbone.mesh is None
         assert cfg_m.mimi.transformer.use_pallas_attn is False
+        # the fallback cfg is STILL a sharded program: kernels without a
+        # shard_map wrapper (the fused flow net) gate on on_mesh — if this
+        # were False here, a Mosaic custom call would leak into GSPMD
+        assert cfg_m.on_mesh is True
+        assert mesh_cfg(self._pallas_cfg(), None).on_mesh is False
 
     def test_sharded_pallas_step_matches_unsharded_xla(self):
         from pocket_tts_tpu.runtime.batched import mesh_cfg
