@@ -107,11 +107,30 @@ class MultiStreamServer:
         return req
 
     def run_pending(self):
-        """Drain the queue in cohorts of max_batch."""
+        """Drain the queue in cohorts of max_batch. A request whose text
+        exceeds the largest token bucket is evicted and the error raised —
+        AFTER the fitting requests gathered so far have run (an eviction
+        must never lose its cohort siblings)."""
         while self._queue:
-            cohort = self._queue[: self.max_batch]
-            self._queue = self._queue[self.max_batch:]
-            self._run_cohort(cohort)
+            cohort, err = [], None
+            while self._queue and len(cohort) < self.max_batch:
+                req = self._queue[0]
+                try:
+                    if getattr(req, "_prep", None) is None:
+                        text, guess = prepare_text_prompt(req.text)
+                        req._prep = (text, guess,
+                                     self.engine.tokenizer.encode(text))
+                    _bucket(len(req._prep[2]))
+                except ValueError as e:
+                    self._queue.pop(0)  # evict the oversized request
+                    err = e
+                    break
+                self._queue.pop(0)
+                cohort.append(req)
+            if cohort:
+                self._run_cohort(cohort)
+            if err is not None:
+                raise err
 
     def _run_cohort(self, cohort: List[Request]):
         eng = self.engine
@@ -121,8 +140,12 @@ class MultiStreamServer:
             reqs.append(reqs[-1])
         b = len(reqs)
 
-        prepared = [prepare_text_prompt(r.text) for r in reqs]
-        ids = [eng.tokenizer.encode(t) for t, _ in prepared]
+        prepared = [(r._prep[0], r._prep[1])
+                    if getattr(r, "_prep", None) is not None
+                    else prepare_text_prompt(r.text) for r in reqs]
+        ids = [r._prep[2] if getattr(r, "_prep", None) is not None
+               else eng.tokenizer.encode(t)
+               for r, (t, _) in zip(reqs, prepared)]
         tp = max(_bucket(len(i)) for i in ids)
         tokens = jnp.asarray(np.stack(
             [np.pad(np.asarray(i, np.int32), (0, tp - len(i)))

@@ -78,6 +78,23 @@ class TestServer:
         # chunked serving produced at least 2 chunks for the longer request
         assert any(len(r.chunks) >= 2 for r in reqs)
 
+    def test_oversized_text_evicted_without_losing_cohort(self):
+        """A text over the largest token bucket is evicted with a raised
+        ValueError, but its cohort siblings still run (popping the cohort
+        before validating used to lose them all)."""
+        import pytest
+        eng = make_engine()
+        server = MultiStreamServer(eng, max_batch=4, chunk_frames=10)
+        server.register_voices({"a": random_voice_prompt(CFG, 12, seed=1)})
+        good = server.submit("A fitting request.", "a", temp=0.0)
+        server.submit("A" + "!" * 300, "a")  # > largest token bucket
+        tail = server.submit("Another fitting one.", "a", temp=0.0)
+        with pytest.raises(ValueError, match="too long"):
+            server.run_pending()
+        server.run_pending()  # drains the tail request
+        assert good.pcm is not None and good.pcm.size > 0
+        assert tail.pcm is not None and tail.pcm.size > 0
+
     def test_chunked_matches_batched_single_shot(self):
         """Chunked decode (rng_offset) must produce the same audio as the
         engine's own synthesis for the same rng lineage."""
