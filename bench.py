@@ -434,4 +434,13 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # the TPU here sits behind a tunnel that occasionally drops mid-run;
+    # one retry re-uses the in-process compile cache, so it is cheap
+    for attempt in range(2):
+        try:
+            sys.exit(main())
+        except RuntimeError as e:
+            print(f"bench attempt {attempt + 1} failed: {e}",
+                  file=sys.stderr)
+            time.sleep(30)
+    sys.exit(1)
