@@ -92,6 +92,39 @@ class TestFusedLayer:
                                            np.asarray(want), atol=1e-4,
                                            err_msg=f"bits={bits}")
 
+    def test_int4_schemes_match_in_fused_kernels(self):
+        """Every INT4_SCHEME produces the same pre/post outputs — the
+        scheme choice is a pure VPU-cost knob (quant_matmul._int4_dots and
+        the W2-as-RHS branch in _post_kernel)."""
+        from pocket_tts_tpu.ops import quant_matmul as qm
+        rng = np.random.RandomState(7)
+        dm = CFG.backbone.d_model
+        x = jnp.asarray(rng.randn(1, dm).astype(np.float32) * 0.3)
+        attn = jnp.asarray(rng.randn(1, dm).astype(np.float32) * 0.3)
+        p = _layer_params(4)
+        outs = {}
+        for scheme in ("unpack", "rawdot", "lo8"):
+            old = qm.INT4_SCHEME
+            qm.INT4_SCHEME = scheme
+            # the kernel factories cache on static args only — clear so the
+            # scheme flag (read at trace time) takes effect
+            fused_layer._make_pre.cache_clear()
+            fused_layer._make_post.cache_clear()
+            try:
+                outs[scheme] = (
+                    np.asarray(fused_layer.pre_attention(p, x,
+                                                         interpret=True)),
+                    np.asarray(fused_layer.post_attention(p, x, attn,
+                                                          interpret=True)))
+            finally:
+                qm.INT4_SCHEME = old
+                fused_layer._make_pre.cache_clear()
+                fused_layer._make_post.cache_clear()
+        for scheme in ("rawdot", "lo8"):
+            for got, want in zip(outs[scheme], outs["unpack"]):
+                np.testing.assert_allclose(got, want, atol=5e-4,
+                                           err_msg=scheme)
+
     def test_batched_rows_collapse(self):
         """vmap over streams == per-stream results (rows are independent,
         weights stream once)."""
