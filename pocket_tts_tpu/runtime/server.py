@@ -525,10 +525,28 @@ class ContinuousBatchingServer:
         if all(r is None for r in self._live):
             return 0
         eng = self.engine
-        self.batch, pcm, valid = continuous_decode_chunk(
-            eng.params, self.cfg, self.chunk_frames, self.batch,
-            jnp.asarray(self._rngs), jnp.asarray(self._temps),
-            jnp.asarray(self._fae), jnp.asarray(self._max_steps))
+        try:
+            self.batch, pcm, valid = continuous_decode_chunk(
+                eng.params, self.cfg, self.chunk_frames, self.batch,
+                jnp.asarray(self._rngs), jnp.asarray(self._temps),
+                jnp.asarray(self._fae), jnp.asarray(self._max_steps))
+        except Exception:
+            # the batch state is DONATED into the dispatch, so a failure
+            # here (transient device/runtime error) may have consumed its
+            # buffers — drop the epoch and restart the live requests from
+            # scratch instead of decoding over lost state. Requests keep
+            # their explicit rng (temp-0/seeded audio is unchanged); audio
+            # already handed to the caller is simply re-generated.
+            for lane, req in enumerate(self._live):
+                if req is not None:
+                    req.ttfa_s = None
+                    req.first_audio_step = None
+                    req.admit_step = None
+                    self._queue.insert(0, req)
+                    self._live[lane] = None
+                    self._chunks[lane] = []
+            self.batch = None
+            raise
         pcm = np.asarray(pcm)
         valid = np.asarray(valid)
         done = np.asarray(self.batch.done)

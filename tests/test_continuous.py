@@ -238,6 +238,38 @@ class TestContinuousBatching:
         srv.run_pending()
         assert good.pcm is not None and good.pcm.size > 0
 
+    def test_decode_failure_recovers_by_restart(self):
+        """The decode chunk DONATES the batch state, so a dispatch failure
+        may have consumed it. The server must drop the epoch, re-queue the
+        live requests, and complete them on subsequent steps."""
+        import pytest
+        from pocket_tts_tpu.runtime import server as server_mod
+        eng = make_engine()
+        srv = make_server(eng, lanes=2)
+        kA = jax.random.PRNGKey(5)
+        req = srv.submit(TEXT_B, "vb", temp=0.0, rng=kA)
+        srv.step()  # mid-decode with audio already emitted
+        assert req.ttfa_s is not None
+        real = server_mod.continuous_decode_chunk
+
+        def boom(*a, **k):
+            raise RuntimeError("injected device failure")
+
+        server_mod.continuous_decode_chunk = boom
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                srv.step()
+        finally:
+            server_mod.continuous_decode_chunk = real
+        assert srv.batch is None and srv._live == [None, None]
+        srv.run_pending()
+        assert req.pcm is not None and req.pcm.size > 0
+        # seeded request: the restarted audio equals an undisturbed run
+        srv2 = make_server(make_engine(), lanes=2)
+        ref = srv2.submit(TEXT_B, "vb", temp=0.0, rng=kA)
+        srv2.run_pending()
+        np.testing.assert_allclose(req.pcm, ref.pcm, atol=2e-5, rtol=0)
+
     def test_text_bucket_overflow_keeps_siblings(self):
         """A request over text_bucket (few words, many punctuation tokens —
         it passes the frame-budget check) is rejected at validation, before
