@@ -494,6 +494,22 @@ class ContinuousBatchingServer:
             # a raise mid-loop must not lose the already-popped group
             self._admit_group(group)
 
+    def _drop_epoch(self, extra_requeue=()):
+        """A DONATED dispatch failed: its buffers may be consumed. Reset
+        the epoch and put every affected request back at the queue front
+        to restart from scratch (seeded requests reproduce their audio)."""
+        for req in reversed(list(extra_requeue)):
+            self._queue.insert(0, req)
+        for lane, req in enumerate(self._live):
+            if req is not None:
+                req.ttfa_s = None
+                req.first_audio_step = None
+                req.admit_step = None
+                self._queue.insert(0, req)
+                self._live[lane] = None
+                self._chunks[lane] = []
+        self.batch = None
+
     def _admit_group(self, group):
         if not group:
             return
@@ -506,7 +522,12 @@ class ContinuousBatchingServer:
             [lane for lane, _ in group]
             + list(range(self.lanes, self.lanes + k - len(group))),
             np.int32)
-        self.batch = admit_group(self.batch, jnp.asarray(lane_idx), fresh)
+        try:
+            self.batch = admit_group(self.batch, jnp.asarray(lane_idx),
+                                     fresh)
+        except Exception:
+            self._drop_epoch(extra_requeue=[r for _, r in group])
+            raise
         for (lane, req), (max_steps, fae, n_tok) in zip(group, metas):
             rng = (req._rng if req._rng is not None
                    else self.engine._next_rng())
@@ -537,15 +558,7 @@ class ContinuousBatchingServer:
             # scratch instead of decoding over lost state. Requests keep
             # their explicit rng (temp-0/seeded audio is unchanged); audio
             # already handed to the caller is simply re-generated.
-            for lane, req in enumerate(self._live):
-                if req is not None:
-                    req.ttfa_s = None
-                    req.first_audio_step = None
-                    req.admit_step = None
-                    self._queue.insert(0, req)
-                    self._live[lane] = None
-                    self._chunks[lane] = []
-            self.batch = None
+            self._drop_epoch()
             raise
         pcm = np.asarray(pcm)
         valid = np.asarray(valid)
