@@ -46,6 +46,11 @@ class BackboneConfig:
     # quantized. Off by default (reference numerics keep the cache in the
     # compute dtype); enable for serving throughput.
     quantize_kv: bool = False
+    # Fold the per-token KV-row insert into the Pallas decode-attention
+    # kernel (analytic merge + aligned-window DMA write-back) instead of
+    # 2-4 dynamic_update_slice dispatches per layer — only takes effect
+    # when the Pallas decode kernel runs. False restores the DUS path.
+    fuse_insert: bool = True
     # additive bias for masked attention slots: -1e9 (ours, negligible after
     # softmax) vs the reference's -1e5 "can't use infinity" hack
     # (torch.h:124-143). A/B switch for real-weights bit comparison.

@@ -90,12 +90,15 @@ def quantize_rows(x):
 
 def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
            pos_vec, num_heads: int, gelu_approx: bool, pallas_mode: str,
-           mesh=None, read_end=None):
+           mesh=None, read_end=None, cur_pos=None, fuse_insert=True):
     """One pre-LN layer. ref: streaming_transformer_layer_forward,
     transformer.h:253-278; attention transformer.h:55-199.
 
     pallas_mode: "off" (XLA sdpa), "tpu" or "interpret" — use the Pallas
     flash-decode kernel that only reads the live cache prefix (T==1 only).
+    fuse_insert: fold the KV-row insert into the attention kernel
+    (ops/pallas_attn.decode_insert_attention) instead of per-layer
+    dynamic_update_slice dispatches.
     """
     t, dm = x.shape
     fused = False
@@ -123,6 +126,38 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
     k_rows = k.reshape(t, dm)
     v_rows = v.reshape(t, dm)
     quant = k_cache.dtype == jnp.int8
+    if pallas_mode != "off" and t == 1 and fuse_insert:
+        # fused insert + flash decode: the per-layer DUS dispatches (2-4
+        # per layer, ~50 us/frame of fixed cost at batch 32) fold into
+        # the attention kernel; the row is merged analytically and
+        # written back by an overlapped aligned-window DMA
+        from ..ops.pallas_attn import decode_insert_attention
+        interp = pallas_mode == "interpret"
+        re_ = end if read_end is None else read_end
+        if quant:
+            k_q, k_s = quantize_rows(k_rows)
+            v_q, v_s = quantize_rows(v_rows)
+            attn1, k_cache, v_cache, k_scale, v_scale = (
+                decode_insert_attention(
+                    q[0], k_q, v_q, cur_pos, k_cache, v_cache, pos_vec,
+                    re_, end, k_scale=k_scale, v_scale=v_scale,
+                    ks_new=k_s[0], vs_new=v_s[0], interpret=interp,
+                    mesh=mesh))
+        else:
+            attn1, k_cache, v_cache = decode_insert_attention(
+                q[0], k_rows.astype(k_cache.dtype),
+                v_rows.astype(v_cache.dtype), cur_pos, k_cache, v_cache,
+                pos_vec, re_, end, interpret=interp, mesh=mesh)
+        if fused:
+            x = fused_layer.post_attention(
+                p, x, attn1.reshape(t, dm), approx=gelu_approx,
+                interpret=interp)
+        else:
+            x = x + linear(p["out_proj"], attn1.reshape(t, dm))
+            h = layer_norm(p["norm2"], x, eps=1e-5)
+            x = x + linear(p["linear2"],
+                           gelu(linear(p["linear1"], h), gelu_approx))
+        return x, k_cache, v_cache, k_scale, v_scale
     if quant:
         k_q, k_s = quantize_rows(k_rows)
         v_q, v_s = quantize_rows(v_rows)
@@ -222,7 +257,8 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
         x, k_l, v_l, ks_l, vs_l = _layer(
             layer_p, x, state.k[l], state.v[l], ks, vs, state.end, cos, sin,
             bias, pos_vec, cfg.num_heads, gelu_approx, pallas_mode,
-            mesh=cfg.mesh, read_end=read_end)
+            mesh=cfg.mesh, read_end=read_end, cur_pos=row_pos[0],
+            fuse_insert=cfg.fuse_insert)
         k_new.append(k_l)
         v_new.append(v_l)
         ks_new.append(ks_l)

@@ -341,6 +341,433 @@ def _make_decode_attention_q(block_size: int, interpret: bool, mesh=None):
     return fn
 
 
+# ---------------------------------------------------------------------------
+# fused insert + flash decode
+# ---------------------------------------------------------------------------
+#
+# The XLA decode path pays 2-4 dynamic_update_slice dispatches per layer to
+# insert the current token's K/V row (plus scale scatters in int8-KV mode)
+# BEFORE the attention kernel can run — measured ~50 us of the 785 us
+# batch-32 serving frame, almost all fixed per-op cost. This variant folds
+# the insert into the attention kernel itself, the same way the mimi ring
+# kernel does (ops/pallas_mimi.py):
+#
+#   - the new row is attended ANALYTICALLY from its VMEM operand (a
+#     single-row flash merge after the block loop), so the cache never
+#     needs to contain it; the slot being overwritten is masked out of the
+#     block pass (its bytes are stale in ring mode);
+#   - the cache write is one async DMA of the tiling-aligned window of
+#     rows around the write slot: the window's OLD rows are sliced from
+#     the cache block the flash pass already has in VMEM (no read-back),
+#     the new row is selected in, and the window DMAs out through
+#     input_output_aliasing — overlapped with the remaining block steps;
+#   - int8-KV scale rows ride along as whole-row VMEM blocks (they are
+#     ~1.5 KB/stream) with the new scale selected in by lane.
+#
+# Window sizes: DMA slices must be sublane-tile aligned ((16, 128) bf16,
+# (32, 128) int8 worst case — Mosaic rejected single-row slices outright,
+# see CLAUDE.md r2). The window write replaces the DUS's own partial-tile
+# read-modify-write, so even the conservative windows move no more bytes
+# than the XLA path did.
+_INSERT_WIN = {jnp.bfloat16: 16, jnp.int8: 32, jnp.float32: 8}
+
+
+def _win_select(rowsel, new_row, old):
+    """Select `new_row` into the window rows where rowsel. int8 goes
+    through f32 arithmetic (Mosaic's v5e backend has no int8 vector
+    select); values are exact at int8 magnitudes."""
+    if old.dtype == jnp.int8:
+        m = rowsel.astype(jnp.float32)
+        return (new_row.astype(jnp.float32) * m
+                + old.astype(jnp.float32) * (1.0 - m)).astype(jnp.int8)
+    return jnp.where(rowsel, new_row.astype(old.dtype), old)
+
+
+def _insert_attn_kernel(ends_ref, cpos_ref, *rest, num_heads, head_dim,
+                        nb_total, quant, group, win):
+    """Fused single-token insert + batched flash decode.
+
+    Grid (B//G, NB). ends_ref (2,) SMEM: [read extent, write slot]
+    (both batch-uniform); cpos_ref (B,) SMEM: the new row's position per
+    stream (-1 = invalid row). quant adds ksn/vsn (B,) f32 SMEM new-row
+    scales, (G, NB, BS) scale-row blocks, and whole-row scale outputs.
+    """
+    if quant:
+        (ksn_ref, vsn_ref, qm_ref, pos_ref, ks_ref, vs_ref, kn_ref, vn_ref,
+         k_ref, v_ref, out_ref, kc_out, vc_out, kso_ref, vso_ref,
+         m_s, l_s, acc_s, kwin, vwin, sems) = rest
+    else:
+        (qm_ref, pos_ref, kn_ref, vn_ref, k_ref, v_ref,
+         out_ref, kc_out, vc_out, m_s, l_s, acc_s, kwin, vwin, sems) = rest
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    bs = k_ref.shape[1]
+    h, d = num_heads, head_dim
+    end = ends_ref[0]
+    ws = ends_ref[1]
+    nb = jnp.minimum((end + bs) // bs, nb_total)
+    iw = ws // bs                       # block holding the write slot
+    a0 = (ws // win) * win              # aligned window start (global)
+    r = ws - a0                         # row within the window
+
+    def win_copy(g):
+        return pltpu.make_async_copy(
+            kwin.at[g], kc_out.at[b * group + g, pl.ds(a0, win)],
+            sems.at[g, 0]), pltpu.make_async_copy(
+            vwin.at[g], vc_out.at[b * group + g, pl.ds(a0, win)],
+            sems.at[g, 1])
+
+    @pl.when(i == 0)
+    def _():
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(i < nb)
+    def _():
+        scale = 1.0 / jnp.sqrt(jnp.float32(d))
+        sidx = i * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+        for g in range(group):
+            lo, hi = g * h, (g + 1) * h
+            qm = qm_ref[g]                             # (H, H*D) bf16
+            kb = k_ref[g]                              # (BS, H*D)
+            vb = v_ref[g]
+            posb = pos_ref[g, pl.ds(i, 1), :]          # (1, BS)
+            # exclude the write slot: its bytes are pre-insert (stale in
+            # ring mode); the new row is merged analytically at the end
+            ok = (posb >= 0) & (sidx != ws)
+            penalty = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+
+            if quant:
+                kb = kb.astype(qm.dtype)
+                vb = vb.astype(qm.dtype)
+
+            logits = jax.lax.dot_general(
+                qm, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if quant:
+                logits = logits * ks_ref[g, pl.ds(i, 1), :]
+            logits = logits + penalty                          # (H, BS)
+
+            m = m_s[lo:hi]
+            m_blk = jnp.max(logits, axis=1, keepdims=True)
+            m_new = jnp.maximum(m, m_blk)
+            corr = jnp.exp(m - m_new)
+            p = jnp.exp(logits - m_new)
+            l_new = l_s[lo:hi] * corr + jnp.sum(p, axis=1, keepdims=True)
+
+            if quant:
+                p = p * vs_ref[g, pl.ds(i, 1), :]
+            pvh = jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_s[lo:hi] = m_new
+            l_s[lo:hi] = l_new
+            acc_s[lo:hi] = acc_s[lo:hi] * corr + pvh
+
+    @pl.when(i == iw)
+    def _():
+        # snapshot the window's OLD rows from the block already in VMEM,
+        # select the new row in, and start the write-back DMA — it
+        # overlaps the remaining block steps
+        a_loc = (ws % bs) // win * win
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, (win, h * d), 0) == r)
+        for g in range(group):
+            kwin[g] = _win_select(rowsel, kn_ref[g],
+                                  k_ref[g, pl.ds(a_loc, win), :])
+            vwin[g] = _win_select(rowsel, vn_ref[g],
+                                  v_ref[g, pl.ds(a_loc, win), :])
+        for g in range(group):
+            ck, cv = win_copy(g)
+            ck.start()
+            cv.start()
+
+    @pl.when(i == nb_total - 1)
+    def _():
+        scale = 1.0 / jnp.sqrt(jnp.float32(d))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (h, h * d), 1)
+        head = jax.lax.broadcasted_iota(jnp.int32, (h, h * d), 0)
+        seg = (lane // d == head).astype(jnp.float32)        # (H, H*D)
+        if quant:
+            flat = (jax.lax.broadcasted_iota(
+                        jnp.int32, (nb_total, bs), 0) * bs
+                    + jax.lax.broadcasted_iota(
+                        jnp.int32, (nb_total, bs), 1))
+        for g in range(group):
+            lo, hi = g * h, (g + 1) * h
+            babs = b * group + g
+            # ---- analytic merge of the new row -------------------------
+            knf = kn_ref[g].astype(jnp.float32)              # (1, H*D)
+            vnf = vn_ref[g].astype(jnp.float32)
+            if quant:
+                knf = knf * ksn_ref[babs]
+                vnf = vnf * vsn_ref[babs]
+            qmf = qm_ref[g].astype(jnp.float32)              # (H, H*D)
+            logit_n = (jnp.sum(qmf * knf, axis=1, keepdims=True)
+                       * scale)                              # (H, 1)
+            logit_n = logit_n + jnp.where(cpos_ref[babs] >= 0, 0.0, NEG_INF)
+            m_old = m_s[lo:hi]
+            m_fin = jnp.maximum(m_old, logit_n)
+            corr = jnp.exp(m_old - m_fin)
+            p_n = jnp.exp(logit_n - m_fin)                   # (H, 1)
+            l_fin = l_s[lo:hi] * corr + p_n
+            acc_fin = acc_s[lo:hi] * corr + p_n * vnf        # (H, H*D)
+            norm = acc_fin / jnp.maximum(l_fin, 1e-30)
+            out_ref[g] = jnp.sum(norm * seg, axis=0,
+                                 keepdims=True).astype(out_ref.dtype)
+            # ---- scale rows (whole-row VMEM blocks, lane select) -------
+            if quant:
+                kso_ref[g] = jnp.where(flat == ws, ksn_ref[babs], ks_ref[g])
+                vso_ref[g] = jnp.where(flat == ws, vsn_ref[babs], vs_ref[g])
+        for g in range(group):
+            ck, cv = win_copy(g)
+            ck.wait()
+            cv.wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_size", "interpret"))
+def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
+                                     v_cache, pos, read_end, write_slot,
+                                     ks_new=None, vs_new=None,
+                                     k_scale=None, v_scale=None,
+                                     block_size: int = 128,
+                                     interpret: bool = False):
+    """Fused insert + flash decode. q (B, H, D); k_new/v_new (B, 1, H*D)
+    in CACHE dtype (pre-quantized rows in int8-KV mode, with ks_new/vs_new
+    (B,) f32 scales); cur_pos (B,) i32 the new row's position (-1 =
+    invalid); caches (B, S, H*D) PRE-insert; pos (B, S) POST-insert (the
+    1-element pos update stays one cheap XLA op per frame, shared by all
+    layers); read_end/write_slot () batch-uniform. Returns
+    (out (B, H, D), k_cache', v_cache'[, k_scale', v_scale'])."""
+    bsz, h, d = q.shape
+    s = k_cache.shape[1]
+    assert s % block_size == 0, (s, block_size)
+    nb = s // block_size
+    quant = k_scale is not None
+    win = min(_INSERT_WIN.get(k_cache.dtype.type, 32), block_size)
+    assert block_size % win == 0, (block_size, win)
+    bytes_per_stream = 2 * 2 * block_size * h * d * (1 if quant else 2)
+    group = 1
+    for cand in (4, 2):
+        if bsz % cand == 0 and cand * bytes_per_stream <= 8 * 1024 * 1024:
+            group = cand
+            break
+    kernel = functools.partial(
+        _insert_attn_kernel, num_heads=h, head_dim=d, nb_total=nb,
+        quant=quant, group=group, win=win)
+
+    eye = jnp.eye(h, dtype=q.dtype)
+    qm = (eye[:, :, None] * q[:, None]).reshape(bsz, h, h * d)
+    ends = jnp.stack([jnp.asarray(read_end, jnp.int32),
+                      jnp.asarray(write_slot, jnp.int32)])
+
+    def live(i, ends_v):
+        last = jnp.maximum((ends_v[0] + block_size) // block_size - 1, 0)
+        return jnp.minimum(i, jnp.minimum(last, nb - 1))
+
+    row_spec = pl.BlockSpec((group, nb, block_size),
+                            lambda b, i, *s: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    new_spec = pl.BlockSpec((group, 1, h * d), lambda b, i, *s: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((group, block_size, h * d),
+                           lambda b, i, *s: (b, live(i, s[0]), 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((group, h, h * d), lambda b, i, *s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),      # qm
+        row_spec,                                   # pos
+    ]
+    operands = [qm, pos.reshape(bsz, nb, block_size)]
+    scalars = [ends, jnp.asarray(cur_pos, jnp.int32)]
+    if quant:
+        scalars += [ks_new.astype(jnp.float32), vs_new.astype(jnp.float32)]
+        in_specs += [row_spec, row_spec]
+        operands += [k_scale.reshape(bsz, nb, block_size),
+                     v_scale.reshape(bsz, nb, block_size)]
+    in_specs += [new_spec, new_spec, kv_spec, kv_spec]
+    operands += [k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
+                 k_cache, v_cache]
+
+    out_specs = [
+        pl.BlockSpec((group, 1, h * d), lambda b, i, *s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),      # attn out
+        pl.BlockSpec(memory_space=pl.ANY),          # k_cache (aliased)
+        pl.BlockSpec(memory_space=pl.ANY),          # v_cache (aliased)
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, 1, h * d), q.dtype),
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+    ]
+    # operand numbering INCLUDES the scalar-prefetch args
+    nsc = len(scalars)
+    base = nsc + 2 + (2 if quant else 0)            # qm, pos[, ks, vs]
+    aliases = {base + 2: 1, base + 3: 2}            # k_cache, v_cache
+    if quant:
+        out_specs += [row_spec, row_spec]           # k/v scale rows
+        out_shape += [
+            jax.ShapeDtypeStruct((bsz, nb, block_size), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nb, block_size), jnp.float32),
+        ]
+        aliases[nsc + 2] = 3                        # k_scale rows
+        aliases[nsc + 3] = 4                        # v_scale rows
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=nsc,
+            grid=(bsz // group, nb),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((group * h, 1), jnp.float32),
+                pltpu.VMEM((group * h, 1), jnp.float32),
+                pltpu.VMEM((group * h, h * d), jnp.float32),
+                pltpu.VMEM((group, win, h * d), k_cache.dtype),
+                pltpu.VMEM((group, win, h * d), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((group, 2)),
+            ],
+        ),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*scalars, *operands)
+    out, kc, vc = outs[0], outs[1], outs[2]
+    out = out.reshape(bsz, h, d)
+    if quant:
+        return (out, kc, vc, outs[3].reshape(bsz, s),
+                outs[4].reshape(bsz, s))
+    return out, kc, vc
+
+
+def _shard_insert_batched(mesh, quant: bool, block_size: int,
+                          interpret: bool):
+    """shard_map wrapper for the fused insert kernel: streams over "data",
+    heads over "model" — same seams as _shard_batched; the per-row scale
+    arrays are replicated over "model" (each head-shard selects in the
+    identical new scale)."""
+    from jax.sharding import PartitionSpec as P
+    assert {"data", "model"} <= set(mesh.axis_names), mesh.axis_names
+    q_s = P("data", "model", None)
+    kv_s = P("data", None, "model")
+    row_s = P("data", None)
+    vec_s = P("data")
+    if quant:
+        in_specs = (q_s, kv_s, kv_s, kv_s, kv_s, vec_s, vec_s, vec_s,
+                    row_s, row_s, row_s, P(), P())
+        out_specs = (q_s, kv_s, kv_s, row_s, row_s)
+    else:
+        in_specs = (q_s, kv_s, kv_s, kv_s, kv_s, vec_s, row_s, P(), P())
+        out_specs = (q_s, kv_s, kv_s)
+
+    def call(*args):
+        if quant:
+            (q, kn, vn, k, v, cpos, ksn, vsn, ks, vs, pos, re_, ws_) = args
+            return _decode_insert_attention_batched(
+                q, kn, vn, cpos, k, v, pos, re_, ws_, ksn, vsn, ks, vs,
+                block_size=block_size, interpret=interpret)
+        q, kn, vn, k, v, cpos, pos, re_, ws_ = args
+        return _decode_insert_attention_batched(
+            q, kn, vn, cpos, k, v, pos, re_, ws_,
+            block_size=block_size, interpret=interpret)
+
+    return jax.shard_map(call, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_insert_attention(quant: bool, block_size: int, interpret: bool,
+                           mesh=None):
+    """Single-stream fused insert+decode with a custom vmap rule (the
+    batch collapses into the explicitly-batched kernel; write/read slot
+    cursors stay batch-uniform)."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(q, k_new, v_new, cur_pos, k_cache, v_cache, pos, read_end,
+           write_slot, *qargs):
+        outs = _decode_insert_attention_batched(
+            q[None], k_new[None], v_new[None],
+            jnp.asarray(cur_pos, jnp.int32).reshape(1), k_cache[None],
+            v_cache[None], pos[None], read_end, write_slot,
+            *([qargs[0].reshape(1), qargs[1].reshape(1), qargs[2][None],
+               qargs[3][None]] if quant else []),
+            block_size=block_size, interpret=interpret)
+        return tuple(o[0] for o in outs)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, q, k_new, v_new, cur_pos, k_cache,
+              v_cache, pos, read_end, write_slot, *qargs):
+        assert not in_batched[7] and not in_batched[8], \
+            "read/write slot cursors must be batch-uniform"
+
+        def bat(x, isb):
+            return x if isb else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        args = [bat(q, in_batched[0]), bat(k_new, in_batched[1]),
+                bat(v_new, in_batched[2]),
+                bat(jnp.asarray(cur_pos, jnp.int32), in_batched[3]),
+                bat(k_cache, in_batched[4]), bat(v_cache, in_batched[5]),
+                bat(pos, in_batched[6])]
+        re_ = jnp.asarray(read_end, jnp.int32)
+        ws_ = jnp.asarray(write_slot, jnp.int32)
+        qb = [bat(a, isb) for a, isb in zip(qargs, in_batched[9:])]
+        if mesh is not None:
+            _check_mesh_divides(mesh, axis_size, q.shape[-2])
+            if quant:
+                ksn, vsn, ks, vs = qb
+                outs = _shard_insert_batched(mesh, True, block_size,
+                                             interpret)(
+                    args[0], args[1], args[2], args[4], args[5], args[3],
+                    ksn, vsn, ks, vs, args[6], re_, ws_)
+            else:
+                outs = _shard_insert_batched(mesh, False, block_size,
+                                             interpret)(
+                    args[0], args[1], args[2], args[4], args[5], args[3],
+                    args[6], re_, ws_)
+        else:
+            outs = _decode_insert_attention_batched(
+                args[0], args[1], args[2], args[3], args[4], args[5],
+                args[6], re_, ws_, *qb,
+                block_size=block_size, interpret=interpret)
+        return tuple(outs), tuple(True for _ in outs)
+
+    return fn
+
+
+def decode_insert_attention(q, k_new, v_new, cur_pos, k_cache, v_cache,
+                            pos, read_end, write_slot, k_scale=None,
+                            v_scale=None, ks_new=None, vs_new=None,
+                            block_size: int = None, interpret: bool = False,
+                            mesh=None):
+    """Fused KV insert + flash decode for one stream (batch via vmap).
+
+    q: (H, D); k_new/v_new: (1, H*D) rows in CACHE dtype (pre-quantized
+    int8 rows when the cache is int8, with ks_new/vs_new () f32 scales);
+    cur_pos: () i32 position of the new row (-1 = invalid); caches
+    (S, H*D) PRE-insert; pos (S,) POST-insert; read_end: () read extent
+    (== write_slot in linear mode, capacity-1 in ring mode); write_slot:
+    () slot receiving the row (batch-uniform). Returns
+    (attn (H, D), k_cache', v_cache'[, k_scale', v_scale']) — caches
+    updated in place via input_output_aliasing.
+
+    Replaces the per-layer dynamic_update_slice chain of the XLA path
+    (ref insert semantics: transformer.h:55-199 complete_kv) — see the
+    design note above _INSERT_WIN."""
+    if block_size is None:
+        block_size = _pick_block(k_cache.shape[0])
+    quant = k_scale is not None
+    fn = _make_insert_attention(quant, block_size, interpret, mesh)
+    args = [q, k_new, v_new, jnp.asarray(cur_pos, jnp.int32), k_cache,
+            v_cache, pos, jnp.asarray(read_end, jnp.int32),
+            jnp.asarray(write_slot, jnp.int32)]
+    if quant:
+        args += [jnp.asarray(ks_new, jnp.float32),
+                 jnp.asarray(vs_new, jnp.float32), k_scale, v_scale]
+    return fn(*args)
+
+
 def _pick_block(s: int) -> int:
     """Largest divisor block <= 384: per-grid-step overhead (~0.3-0.8 us)
     dominates DMA for small blocks, so fewer/bigger blocks win; 384 was the

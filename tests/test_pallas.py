@@ -145,6 +145,191 @@ class TestDecodeAttention:
                                    atol=1e-4)
 
 
+class TestDecodeInsertAttention:
+    """Fused KV-insert + flash decode (decode_insert_attention) vs
+    DUS-then-attend: same attention output AND byte-identical cache
+    updates, in linear and ring (stale write slot) modes, solo/vmapped,
+    bf16-style and int8-KV."""
+
+    def _case(self, end, seed=0):
+        r = np.random.RandomState(seed)
+        k = jnp.asarray(r.randn(S, H * D).astype(np.float32))
+        v = jnp.asarray(r.randn(S, H * D).astype(np.float32))
+        q = jnp.asarray(r.randn(H, D).astype(np.float32))
+        kn = jnp.asarray(r.randn(1, H * D).astype(np.float32))
+        vn = jnp.asarray(r.randn(1, H * D).astype(np.float32))
+        pos = np.full(S, -1, np.int32)
+        pos[:end] = np.arange(end)
+        pos[end] = end                       # post-insert position row
+        return q, kn, vn, k, v, jnp.asarray(pos)
+
+    def _ref(self, q, kn, vn, k, v, pos, end):
+        k2 = jax.lax.dynamic_update_slice(k, kn, (end, 0))
+        v2 = jax.lax.dynamic_update_slice(v, vn, (end, 0))
+        big = jnp.asarray([10 ** 6], jnp.int32)
+        out = sdpa(q[None], k2.reshape(S, H, D), v2.reshape(S, H, D),
+                   pos_cache_bias(big, pos))[0]
+        return out, k2, v2
+
+    @pytest.mark.parametrize("end", [0, 5, 63, 64, 70, 255])
+    def test_matches_dus_then_attend(self, end):
+        from pocket_tts_tpu.ops.pallas_attn import decode_insert_attention
+        q, kn, vn, k, v, pos = self._case(end, seed=end)
+        want, k2, v2 = self._ref(q, kn, vn, k, v, pos, end)
+        got, kc, vc = decode_insert_attention(
+            q, kn, vn, jnp.int32(end), k, v, pos, jnp.int32(end),
+            jnp.int32(end), block_size=BS, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(kc), np.asarray(k2))
+        np.testing.assert_array_equal(np.asarray(vc), np.asarray(v2))
+
+    def test_ring_mode_stale_slot(self):
+        """Write slot mid-cache holds stale bytes (ring recycling): they
+        must be excluded and the new row merged analytically."""
+        from pocket_tts_tpu.ops.pallas_attn import decode_insert_attention
+        end = 100
+        q, kn, vn, k, v, _ = self._case(end, seed=77)
+        pos = jnp.asarray(np.arange(S, dtype=np.int32)).at[end].set(500)
+        want, k2, v2 = self._ref(q, kn, vn, k, v, pos, end)
+        got, kc, vc = decode_insert_attention(
+            q, kn, vn, jnp.int32(500), k, v, pos, jnp.int32(S - 1),
+            jnp.int32(end), block_size=BS, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(kc), np.asarray(k2))
+
+    def test_invalid_row_not_attended(self):
+        """cur_pos = -1 (padding step): the new row's bytes land in the
+        cache (like the DUS did) but must not contribute to attention."""
+        from pocket_tts_tpu.ops.pallas_attn import decode_insert_attention
+        end = 40
+        q, kn, vn, k, v, pos = self._case(end, seed=5)
+        pos = pos.at[end].set(-1)
+        big = jnp.asarray([10 ** 6], jnp.int32)
+        want = sdpa(q[None], k.reshape(S, H, D), v.reshape(S, H, D),
+                    pos_cache_bias(big, pos))[0]
+        got, kc, _ = decode_insert_attention(
+            q, kn, vn, jnp.int32(-1), k, v, pos, jnp.int32(end),
+            jnp.int32(end), block_size=BS, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(kc[end]), np.asarray(kn[0]))
+
+    @pytest.mark.parametrize("b", [4])
+    def test_vmapped_groups(self, b):
+        from pocket_tts_tpu.ops.pallas_attn import decode_insert_attention
+        cases = [self._case(90, seed=10 + i) for i in range(b)]
+        stk = [jnp.stack([c[j] for c in cases]) for j in range(6)]
+        got = jax.vmap(
+            lambda q, kn, vn, k, v, p: decode_insert_attention(
+                q, kn, vn, jnp.int32(90), k, v, p, jnp.int32(90),
+                jnp.int32(90), block_size=BS, interpret=True)
+        )(*stk)
+        for i in range(b):
+            want, k2, v2 = self._ref(*cases[i], 90)
+            np.testing.assert_allclose(np.asarray(got[0][i]),
+                                       np.asarray(want), atol=1e-5,
+                                       err_msg=f"stream {i}")
+            np.testing.assert_array_equal(np.asarray(got[1][i]),
+                                          np.asarray(k2))
+            np.testing.assert_array_equal(np.asarray(got[2][i]),
+                                          np.asarray(v2))
+
+    @pytest.mark.parametrize("b", [1, 4])
+    def test_int8_kv(self, b):
+        """int8 caches: pre-quantized new rows + scale-row updates must
+        land byte-identically and attend like the dequantized DUS path."""
+        from pocket_tts_tpu.ops.pallas_attn import decode_insert_attention
+        end = 90
+        cases = []
+        for i in range(b):
+            qx, knx, vnx, kx, vx, posx = self._case(end, seed=30 + i)
+            kf, vf = np.asarray(kx), np.asarray(vx)
+            ks = np.maximum(np.abs(kf).max(-1) / 127.0,
+                            1e-12).astype(np.float32)
+            vs = np.maximum(np.abs(vf).max(-1) / 127.0,
+                            1e-12).astype(np.float32)
+            kq = np.clip(np.round(kf / ks[:, None]), -127,
+                         127).astype(np.int8)
+            vq = np.clip(np.round(vf / vs[:, None]), -127,
+                         127).astype(np.int8)
+            knf, vnf = np.asarray(knx), np.asarray(vnx)
+            ksn = np.float32(max(np.abs(knf).max() / 127.0, 1e-12))
+            vsn = np.float32(max(np.abs(vnf).max() / 127.0, 1e-12))
+            knq = np.clip(np.round(knf / ksn), -127, 127).astype(np.int8)
+            vnq = np.clip(np.round(vnf / vsn), -127, 127).astype(np.int8)
+            cases.append((qx, knq, vnq, kq, vq, ks, vs, ksn, vsn, posx))
+
+        def one(qx, knq, vnq, kq, vq, ks, vs, ksn, vsn, posx):
+            return decode_insert_attention(
+                qx, knq, vnq, jnp.int32(end), kq, vq, posx, jnp.int32(end),
+                jnp.int32(end), k_scale=ks, v_scale=vs, ks_new=ksn,
+                vs_new=vsn, block_size=BS, interpret=True)
+
+        if b == 1:
+            outs = [o[None] for o in one(*[jnp.asarray(x)
+                                           for x in cases[0]])]
+        else:
+            stk = [jnp.stack([jnp.asarray(c[j]) for c in cases])
+                   for j in range(10)]
+            outs = jax.vmap(one)(*stk)
+        for i, c in enumerate(cases):
+            qx, knq, vnq, kq, vq, ks, vs, ksn, vsn, posx = c
+            kq2 = np.concatenate([kq[:end], knq, kq[end + 1:]], 0)
+            vq2 = np.concatenate([vq[:end], vnq, vq[end + 1:]], 0)
+            ks2 = np.concatenate([ks[:end], [ksn], ks[end + 1:]], 0)
+            vs2 = np.concatenate([vs[:end], [vsn], vs[end + 1:]], 0)
+            k_deq = (kq2.astype(np.float32) * ks2[:, None]).reshape(S, H, D)
+            v_deq = (vq2.astype(np.float32) * vs2[:, None]).reshape(S, H, D)
+            big = jnp.asarray([10 ** 6], jnp.int32)
+            want = sdpa(jnp.asarray(qx)[None], jnp.asarray(k_deq),
+                        jnp.asarray(v_deq), pos_cache_bias(big, posx))[0]
+            np.testing.assert_allclose(np.asarray(outs[0][i]),
+                                       np.asarray(want), atol=1e-4,
+                                       err_msg=f"stream {i}")
+            np.testing.assert_array_equal(np.asarray(outs[1][i]), kq2)
+            np.testing.assert_array_equal(np.asarray(outs[2][i]), vq2)
+            np.testing.assert_allclose(np.asarray(outs[3][i]), ks2,
+                                       atol=1e-7)
+            np.testing.assert_allclose(np.asarray(outs[4][i]), vs2,
+                                       atol=1e-7)
+
+    def test_backbone_fused_insert_matches_dus(self):
+        """Full backbone decode: fuse_insert=True == fuse_insert=False
+        (both on the interpret Pallas kernel) == the XLA path."""
+        from pocket_tts_tpu.config import tiny_config
+        from pocket_tts_tpu.io.params import random_params
+        from pocket_tts_tpu.models import backbone
+
+        cfg0 = tiny_config()
+        params, cfg = random_params(cfg0, seed=3)
+        cfg_fuse = dataclasses.replace(cfg.backbone, use_pallas_attn=True,
+                                       fuse_insert=True)
+        cfg_dus = dataclasses.replace(cfg.backbone, use_pallas_attn=True,
+                                      fuse_insert=False)
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(10, cfg.backbone.d_model).astype(np.float32) * 0.3
+        s0 = backbone.init_state(cfg.backbone)
+        s0, _ = backbone.forward(params, cfg.backbone, s0, jnp.array(x))
+        s0 = backbone.advance(s0, 10, 10)
+
+        step = rng.randn(1, cfg.backbone.d_model).astype(np.float32) * 0.3
+        sf, y_fuse = backbone.forward(params, cfg_fuse, s0,
+                                      jnp.array(step))
+        sd, y_dus = backbone.forward(params, cfg_dus, s0, jnp.array(step))
+        np.testing.assert_allclose(np.asarray(y_fuse), np.asarray(y_dus),
+                                   atol=1e-5)
+        # caches match to fp rounding: the analytic new-row merge sums in
+        # a different order than the blocked dot, so layer l>0 inputs (and
+        # hence their inserted rows) differ in the last ulp
+        for a, b in zip(sf.k + sf.v, sd.k + sd.v):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+
 class TestMimiRingKernel:
     """Fused ring insert+attention (ops/pallas_mimi.py) vs the XLA path."""
 
