@@ -8,6 +8,7 @@ mimi_transformer.h:326-327).
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -330,6 +331,60 @@ def test_ring_quantized_kv_matches_solo():
                                     jnp.int32(40))
         pcs.append(np.asarray(p1))
     np.testing.assert_allclose(np.asarray(pcm[0]), np.stack(pcs), atol=2e-5)
+
+
+@pytest.mark.parametrize("quantize_kv", [False, True])
+def test_ring_pallas_fused_insert_matches_xla(quantize_kv):
+    """The continuous server's TPU hot path — Pallas flash decode with the
+    FUSED in-kernel KV insert (ops/pallas_attn.decode_insert_attention),
+    ring cursor wrapping over stale slots — must produce the same audio as
+    the XLA DUS path, with byte-identical cache contents. Runs the kernel
+    in interpret mode on CPU (Mosaic compiles the same code on TPU)."""
+    import dataclasses
+    from pocket_tts_tpu.models import backbone, mimi, tts
+    from pocket_tts_tpu.runtime.batched import (admit_group,
+                                                continuous_decode_chunk,
+                                                empty_batch_state,
+                                                stack_states)
+
+    def run(cfg_x):
+        b = 2
+        prefix, cap = 32, 64      # ring of 32 slots -> wraps quickly
+        batch = empty_batch_state(PARAMS, cfg_x, b, cap, prefix, ring=True)
+        tok = jnp.asarray(np.arange(4, dtype=np.int32) + 7)
+        tokens = jnp.zeros((16,), jnp.int32).at[:4].set(tok)
+        mt = mimi.init_state(cfg_x.mimi)
+        fresh = tts.sentence_prefill(
+            PARAMS, cfg_x,
+            backbone.shrink_state(backbone.init_state(cfg_x.backbone), cap),
+            mt, tokens, jnp.int32(4))
+        batch = admit_group(batch, jnp.asarray([0, 1], jnp.int32),
+                            stack_states([fresh, fresh]))
+        rngs = jnp.stack([jax.random.PRNGKey(3), jax.random.PRNGKey(4)])
+        n_frames = 48             # >> ring size 32: wraps at least once
+        batch, pcm, valid = continuous_decode_chunk(
+            PARAMS, cfg_x, n_frames, batch, rngs,
+            jnp.full((2,), 0.25, jnp.float32),
+            jnp.full((2,), 40, jnp.int32), jnp.full((2,), 40, jnp.int32))
+        return batch, np.asarray(pcm)
+
+    cfg_base = dataclasses.replace(CFG, backbone=dataclasses.replace(
+        CFG.backbone, quantize_kv=quantize_kv))
+    cfg_pallas = dataclasses.replace(cfg_base, backbone=dataclasses.replace(
+        cfg_base.backbone, use_pallas_attn=True, fuse_insert=True))
+    b_xla, pcm_xla = run(cfg_base)
+    b_pal, pcm_pal = run(cfg_pallas)
+    np.testing.assert_allclose(pcm_pal, pcm_xla, atol=5e-5, rtol=0)
+    if quantize_kv:
+        # layer 0's pre-attention math is identical in both paths, so its
+        # int8 rows and scales must land byte-identically through wraps
+        # (deeper layers' inputs differ at fp rounding, which can flip a
+        # quantization rounding boundary — compare audio only)
+        np.testing.assert_array_equal(np.asarray(b_pal.flow.k[0]),
+                                      np.asarray(b_xla.flow.k[0]))
+        np.testing.assert_allclose(np.asarray(b_pal.flow.k_scale[0]),
+                                   np.asarray(b_xla.flow.k_scale[0]),
+                                   atol=1e-7)
 
 
 def test_admit_stream_quantized_kv():
