@@ -77,7 +77,31 @@ def build_parser():
     p.add_argument("--reference-exact", action="store_true",
                    help="ggml-reference-exact numerics (tanh GELU, -1e5 "
                         "mask, 250-slot mimi ring) for A/B comparison")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory "
+                        "(default ~/.cache/pocket_tts_tpu/xla; 'off' "
+                        "disables). First run compiles (~20-40 s on TPU); "
+                        "later runs of the same shapes start instantly — "
+                        "the analog of the reference's no-compile startup")
     return p
+
+
+def _enable_compile_cache(path):
+    """Persistent XLA compile cache: amortizes the jit compile latency
+    across CLI invocations (the C++ reference has no compile step; this
+    closes most of the cold-start gap on repeat runs)."""
+    import jax
+    if path == "off":
+        return
+    path = path or os.path.join(
+        os.path.expanduser("~"), ".cache", "pocket_tts_tpu", "xla")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"compile cache disabled: {e}", file=sys.stderr)
 
 
 def main(argv=None):
@@ -98,6 +122,8 @@ def main(argv=None):
         for d in jax.devices():
             print(d)
         return 0
+
+    _enable_compile_cache(args.compile_cache)
 
     text = args.text
     if args.input:

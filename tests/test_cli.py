@@ -87,6 +87,24 @@ class TestCli:
         data, _ = load_wav(out)
         assert data.size > 0
 
+    def test_persistent_compile_cache(self, tmp_path):
+        """--compile-cache populates a persistent XLA cache and a repeat
+        run (which hits it) still synthesizes correctly."""
+        import os
+        cdir = str(tmp_path / "xla")
+        out = str(tmp_path / "c.wav")
+        r = run_cli(["--random-weights", "--compile-cache", cdir,
+                     "-s", "2", "-o", out, "Hello."])
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert os.listdir(cdir), "compile cache not populated"
+        out2 = str(tmp_path / "c2.wav")
+        r2 = run_cli(["--random-weights", "--compile-cache", cdir,
+                      "-s", "2", "-o", out2, "Hello."])
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        a, _ = load_wav(out)
+        b, _ = load_wav(out2)
+        assert np.array_equal(a, b)
+
     def test_save_and_load_cache(self, tmp_path):
         cache = str(tmp_path / "params.safetensors")
         r = run_cli(["--random-weights", "--quantize", "int8",
