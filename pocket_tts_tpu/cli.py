@@ -87,21 +87,8 @@ def build_parser():
 
 
 def _enable_compile_cache(path):
-    """Persistent XLA compile cache: amortizes the jit compile latency
-    across CLI invocations (the C++ reference has no compile step; this
-    closes most of the cold-start gap on repeat runs)."""
-    import jax
-    if path == "off":
-        return
-    path = path or os.path.join(
-        os.path.expanduser("~"), ".cache", "pocket_tts_tpu", "xla")
-    try:
-        os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception as e:  # cache is an optimization, never fatal
-        print(f"compile cache disabled: {e}", file=sys.stderr)
+    from .utils.profiling import enable_compile_cache
+    enable_compile_cache(path)
 
 
 def main(argv=None):
