@@ -50,7 +50,10 @@ class BackboneConfig:
     # kernel (analytic merge + aligned-window DMA write-back) instead of
     # 2-4 dynamic_update_slice dispatches per layer — only takes effect
     # when the Pallas decode kernel runs. False restores the DUS path.
-    fuse_insert: bool = True
+    # Default False until the kernel's Mosaic acceptance + win are
+    # confirmed on hardware (the TPU tunnel was down when it was built);
+    # flip after /tmp/measure_insert.py validates on a real chip.
+    fuse_insert: bool = False
     # additive bias for masked attention slots: -1e9 (ours, negligible after
     # softmax) vs the reference's -1e5 "can't use infinity" hack
     # (torch.h:124-143). A/B switch for real-weights bit comparison.
