@@ -54,6 +54,12 @@ class BackboneConfig:
     # confirmed on hardware (the TPU tunnel was down when it was built);
     # flip after /tmp/measure_insert.py validates on a real chip.
     fuse_insert: bool = False
+    # Whole-layer megakernel for SOLO quantized decode (ops/fused_step.py):
+    # norm1+in_proj -> in-kernel rope + KV quantize -> fused insert+flash
+    # -> out_proj+MLP in ONE Pallas call per layer. Batched paths keep the
+    # 3-call kernels (the megakernel would re-stream weights per stream
+    # group). Off until validated/measured on hardware.
+    use_megalayer: bool = False
     # additive bias for masked attention slots: -1e9 (ours, negligible after
     # softmax) vs the reference's -1e5 "can't use infinity" hack
     # (torch.h:124-143). A/B switch for real-weights bit comparison.

@@ -90,7 +90,8 @@ def quantize_rows(x):
 
 def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
            pos_vec, num_heads: int, gelu_approx: bool, pallas_mode: str,
-           mesh=None, read_end=None, cur_pos=None, fuse_insert=True):
+           mesh=None, read_end=None, cur_pos=None, fuse_insert=True,
+           use_megalayer=False):
     """One pre-LN layer. ref: streaming_transformer_layer_forward,
     transformer.h:253-278; attention transformer.h:55-199.
 
@@ -107,6 +108,19 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
     if pallas_mode != "off" and t == 1 and mesh is None:
         from ..ops import fused_layer
         fused = fused_layer.supported(p)
+    if fused and use_megalayer:
+        # whole layer in ONE Pallas call (solo decode; under vmap the
+        # custom rule delegates to the 3-call path) — ops/fused_step.py
+        from ..ops import fused_step
+        interp = pallas_mode == "interpret"
+        re_ = end if read_end is None else read_end
+        outs = fused_step.megalayer(
+            p, x, cos, sin, cur_pos, k_cache, v_cache, pos_vec, re_, end,
+            k_scale=k_scale, v_scale=v_scale, gelu_approx=gelu_approx,
+            interpret=interp)
+        if k_scale is not None:
+            return outs
+        return outs + (k_scale, v_scale)
     if fused:
         # norm1 + in_proj in one Pallas call (quantized decode path): the
         # per-frame cost at batch is dominated by small-op dispatch, not
@@ -258,7 +272,7 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
             layer_p, x, state.k[l], state.v[l], ks, vs, state.end, cos, sin,
             bias, pos_vec, cfg.num_heads, gelu_approx, pallas_mode,
             mesh=cfg.mesh, read_end=read_end, cur_pos=row_pos[0],
-            fuse_insert=cfg.fuse_insert)
+            fuse_insert=cfg.fuse_insert, use_megalayer=cfg.use_megalayer)
         k_new.append(k_l)
         v_new.append(v_l)
         ks_new.append(ks_l)
