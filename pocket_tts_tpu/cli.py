@@ -77,6 +77,13 @@ def build_parser():
     p.add_argument("--reference-exact", action="store_true",
                    help="ggml-reference-exact numerics (tanh GELU, -1e5 "
                         "mask, 250-slot mimi ring) for A/B comparison")
+    p.add_argument("--fuse-insert", action="store_true",
+                   help="fold the KV-row insert into the Pallas decode "
+                        "attention kernel (experimental; see "
+                        "cfg.backbone.fuse_insert)")
+    p.add_argument("--megalayer", action="store_true",
+                   help="whole-layer megakernel for solo quantized decode "
+                        "(implies --fuse-insert; experimental)")
     p.add_argument("--compile-cache", default=None, metavar="DIR",
                    help="persistent XLA compilation cache directory "
                         "(default ~/.cache/pocket_tts_tpu/xla; 'off' "
@@ -149,6 +156,12 @@ def main(argv=None):
 
     base_cfg = (reference_exact_config(DEFAULT_CONFIG)
                 if args.reference_exact else DEFAULT_CONFIG)
+    if args.fuse_insert or args.megalayer:
+        import dataclasses
+        base_cfg = dataclasses.replace(
+            base_cfg, backbone=dataclasses.replace(
+                base_cfg.backbone, fuse_insert=True,
+                use_megalayer=args.megalayer))
 
     from .utils.profiling import FrameMeter, device_trace
     import contextlib
@@ -181,7 +194,9 @@ def main(argv=None):
         voice = random_voice_prompt(cfg)
     else:
         engine = TTSEngine(model_path=model_path, seed=seed,
-                           cfg=base_cfg if args.reference_exact else None,
+                           cfg=(base_cfg if args.reference_exact
+                                or args.fuse_insert or args.megalayer
+                                else None),
                            quantize=args.quantize,
                            quantize_kv=args.quantize_kv,
                            quantize_convs=args.quantize_convs)
