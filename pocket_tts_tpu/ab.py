@@ -124,6 +124,10 @@ def main(argv=None) -> int:
         eng.params, bits=4, convs=True)
     probes["quant_rel_error_int8"] = quantization_error_report(
         eng.params, bits=8, convs=True)
+    # Q4_0-granularity comparison: if these are much lower than the
+    # per-channel int4 errors, ship --quantize q4_0 for this checkpoint
+    probes["quant_rel_error_q4_0"] = quantization_error_report(
+        eng.params, bits=4, convs=True, group=32)
     probes_path = os.path.join(args.out, "ab_probes.json")
     with open(probes_path, "w") as f:
         json.dump(probes, f, indent=1)

@@ -48,9 +48,11 @@ def build_parser():
     p.add_argument("--interactive", action="store_true",
                    help="read text from stdin, stream audio per sentence")
     p.add_argument("--quantize", default=None,
-                   choices=["int8", "q8", "int4", "q4"],
+                   choices=["int8", "q8", "int4", "q4", "q4_0"],
                    help="per-channel weight quantization (fused Pallas "
-                        "dequant-matmul on TPU)")
+                        "dequant-matmul on TPU); q4_0 = int4 with "
+                        "32-element K-grouped scales (reference Q4_0 "
+                        "granularity, for outlier-heavy real weights)")
     p.add_argument("--quantize-kv", action="store_true",
                    help="int8 KV cache (per-row scales): serving-throughput "
                         "mode, halves decode attention cache reads")

@@ -326,6 +326,11 @@ def _qw(p):
     if "q" in p:
         return p["q"], p["scale"], p.get("b"), 8
     if "q4" in p:
+        if p["scale"].ndim == p["q4"].ndim:
+            # K-grouped scales (io/quant.py group>0): the fused kernels
+            # assume a per-output scale row — fall back to the separate
+            # grouped dequant-matmul kernel (quant_matmul)
+            return None, None, None, 0
         return p["q4"], p["scale"], p.get("b"), 4
     if "w" in p:
         return p["w"], None, p.get("b"), 16

@@ -322,7 +322,6 @@ def _megalayer_call(x, n1, w_in, s_in, b_in, cs, cur_pos, k_cache, v_cache,
     kp3 = w_in.shape[-2]
     kpo = wo.shape[-2]
     kp1 = w1.shape[-2]
-    kph = w2.shape[-2]
 
     def cl(v, lo, hi):
         return jnp.clip(v, lo, hi)

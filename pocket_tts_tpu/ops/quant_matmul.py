@@ -31,16 +31,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _n_tile(n: int, k: int, bits: int) -> int:
+def _n_tile(n: int, k: int, bits: int, grouped: bool = False) -> int:
     """Output-tile width: as large as VMEM allows — per-grid-step overhead
     (~0.3-0.8 us) dominates below ~1 MB blocks, and a serving frame issues
     ~50 kernel calls. Budget: weight block + the int4 unpack's two f32
-    (K/2, nt) intermediates must stay well under the 16 MB scoped limit."""
+    (K/2, nt) intermediates must stay well under the 16 MB scoped limit.
+    K-grouped scales materialize two more (K/2, nt) f32 expansions."""
     for t in (4096, 3072, 2048, 1024, 512, 256, 128):
         if n % t:
             continue
         if bits == 4:
             vmem = k // 2 * t + 2 * (k // 2) * t * 4 + k * t * 4
+            if grouped:
+                vmem += 2 * (k // 2) * t * 4
         else:
             vmem = k * t + k * t * 4
         if vmem <= 10 * 1024 * 1024:
@@ -68,20 +71,24 @@ def _w_specs(q, scale, layer, nt):
     (L, K, N) array at static `layer` — avoids the per-frame
     slice-materialization XLA inserts for custom-call operands (measured
     ~45 us/frame of pure copies on the stacked backbone weights).
-    Grid is (row_tiles, n_tiles); weights ignore the row index."""
+    Grid is (row_tiles, n_tiles); weights ignore the row index.
+
+    K-grouped scales (scale.ndim == q.ndim, io/quant.py group>0) ship as
+    (KG, nt) blocks instead of a single scale row."""
+    kg = scale.shape[-2] if scale.ndim == q.ndim else 1
     if layer is None:
         k, n = q.shape
         wspec = pl.BlockSpec((k, nt), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM)
-        sspec = pl.BlockSpec((1, nt), lambda i, j: (0, j),
+        sspec = pl.BlockSpec((kg, nt), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM)
-        return wspec, sspec, q, scale.reshape(1, n).astype(jnp.float32)
+        return wspec, sspec, q, scale.reshape(kg, n).astype(jnp.float32)
     _, k, n = q.shape
     wspec = pl.BlockSpec((1, k, nt), lambda i, j, l=layer: (l, 0, j),
                          memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((1, 1, nt), lambda i, j, l=layer: (l, 0, j),
+    sspec = pl.BlockSpec((1, kg, nt), lambda i, j, l=layer: (l, 0, j),
                          memory_space=pltpu.VMEM)
-    return wspec, sspec, q, scale.reshape(-1, 1, n).astype(jnp.float32)
+    return wspec, sspec, q, scale.reshape(-1, kg, n).astype(jnp.float32)
 
 
 def _int8_kernel(x_ref, w_ref, s_ref, o_ref):
@@ -199,18 +206,52 @@ def _int4_kernel(x_ref, w_ref, s_ref, o_ref):
     o_ref[...] = (acc * s).astype(o_ref.dtype)
 
 
+def _int4_grouped_kernel(x_ref, w_ref, s_ref, o_ref):
+    """K-grouped-scale int4 (io/quant.py group>0, the Q4_0-granularity
+    layout): scales no longer factor out of the dot, so the nibbles are
+    dequantized to input-dtype weight tiles in-kernel. The (KG, nt) scale
+    block expands to per-row scales via one constant 0/1 matmul per half
+    (R[i, j] = i//group == j — ~1/group of a full dot's MACs); the bf16
+    cast of the dequantized tile adds ~2^-8 relative rounding on top of
+    the int4 step (amax/8), i.e. negligible."""
+    f = jnp.float32
+    w4 = w_ref[...] if w_ref.ndim == 2 else w_ref[0]
+    s = (s_ref[...] if s_ref.ndim == 2 else s_ref[0]).astype(f)
+    kh = w4.shape[0]
+    ng = s.shape[0] // 2                  # scale rows per packed half
+    group = kh // ng
+    dt = x_ref.dtype
+    b32 = w4.astype(f)
+    hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
+    lo32 = b32 - 16.0 * hi32 - 8.0
+    ri = jax.lax.broadcasted_iota(jnp.int32, (kh, ng), 0)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (kh, ng), 1)
+    r01 = (ri // group == rj).astype(f)
+    exp_l = jnp.dot(r01, s[:ng], preferred_element_type=f)    # (kh, nt)
+    exp_h = jnp.dot(r01, s[ng:], preferred_element_type=f)
+    acc = jnp.dot(x_ref[:, :kh], (lo32 * exp_l).astype(dt),
+                  preferred_element_type=f)
+    acc += jnp.dot(x_ref[:, kh:], (hi32 * exp_h).astype(dt),
+                   preferred_element_type=f)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
 def int4_matmul_pallas(x, q4, scale, layer=None, interpret: bool = False):
-    """x (T, K) @ dequant(q4[layer] (K//2, N) packed) * scale -> (T, N)."""
+    """x (T, K) @ dequant(q4[layer] (K//2, N) packed) * scale -> (T, N).
+
+    scale (N,)/(L, N): per-output-channel; (K/g, N)/(L, K/g, N):
+    K-grouped (Q4_0 granularity, _int4_grouped_kernel)."""
     t, k = x.shape
     kh, n = q4.shape[-2:]
     assert kh * 2 == k, (q4.shape, x.shape)
-    nt = _n_tile(n, k, 4)
+    grouped = scale.ndim == q4.ndim
+    nt = _n_tile(n, k, 4, grouped=grouped)
     mt, tp = _m_tile(t)
     wspec, sspec, q4, scale = _w_specs(q4, scale, layer, nt)
     if tp != t:
         x = jnp.pad(x, ((0, tp - t), (0, 0)))
     y = pl.pallas_call(
-        _int4_kernel,
+        _int4_grouped_kernel if grouped else _int4_kernel,
         grid=(tp // mt, n // nt),
         in_specs=[
             pl.BlockSpec((mt, k), lambda i, j: (i, 0),
@@ -241,6 +282,12 @@ def _core(x2, q, scale, bits, layer):
         return int4_matmul_pallas(x2, q, scale, layer)
     if layer is not None:
         q, scale = q[layer], scale[layer]
+    if bits == 4 and scale.ndim == 2:     # K-grouped scales
+        g = (q.shape[-2] * 2) // scale.shape[-2]
+        w = (unpack_int4(q, jnp.float32)
+             * jnp.repeat(scale.astype(jnp.float32), g, axis=0))
+        return jnp.dot(x2, w.astype(x2.dtype),
+                       preferred_element_type=jnp.float32).astype(x2.dtype)
     w = (q.astype(x2.dtype) if bits == 8 else unpack_int4(q, x2.dtype))
     return (jnp.dot(x2, w, preferred_element_type=jnp.float32)
             * scale).astype(x2.dtype)

@@ -59,7 +59,10 @@ class TTSEngine:
 
         quantize: None, "int8" or "int4" — per-channel quantized linear
         weights, the analog of the reference's Q8/Q4 GGUF path
-        (src/loader.h:162-173).
+        (src/loader.h:162-173). "q4_0" selects 32-element K-grouped
+        scales — the reference's exact Q4_0 granularity — for real-weight
+        checkpoints whose per-channel int4 error is outlier-dominated
+        (see io/quant.quantization_error_report).
         quantize_kv: int8 KV cache with per-row absmax scales — halves the
         decode attention's cache reads (the dominant batched cost once
         weights are quantized). Serving-throughput mode; slight
@@ -78,11 +81,12 @@ class TTSEngine:
             params, cfg = params_io.load_checkpoint(ckpt, cfg, dtype)
         assert cfg is not None
         if quantize:
-            if quantize not in ("int8", "q8", "int4", "q4"):
+            if quantize not in ("int8", "q8", "int4", "q4", "q4_0"):
                 raise ValueError(f"unknown quantization: {quantize}")
             from ..io.quant import quantize_params
             params = quantize_params(params, bits=4 if "4" in quantize
-                                     else 8, convs=quantize_convs)
+                                     else 8, convs=quantize_convs,
+                                     group=32 if quantize == "q4_0" else 0)
         if quantize_kv:
             import dataclasses
             cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(

@@ -207,6 +207,117 @@ class TestInt4AndKernels:
         assert pcm.size > 0 and np.isfinite(pcm).all()
 
 
+class TestGroupedInt4:
+    """K-grouped int4 scales (quantize_params group=32 == the reference's
+    Q4_0 block granularity, src/loader.h:162-173). The grouped layout is
+    for real-weight outliers; fused layer/flow kernels reject it and the
+    separate grouped dequant-matmul kernel takes over."""
+
+    def _outlier_w(self, k=128, n=128, seed=11):
+        rng = np.random.RandomState(seed)
+        w = rng.randn(k, n).astype(np.float32) * 0.05
+        w[0] += 4.0          # one in-row outlier per channel: per-channel
+        return w             # scales blow the step size for the whole row
+
+    def test_layouts(self):
+        w = jnp.asarray(self._outlier_w())
+        pq = quantize_params({"lin": {"w": w}}, bits=4, group=32)["lin"]
+        assert pq["q4"].shape == (64, 128)
+        assert pq["scale"].shape == (4, 128)         # K/group rows
+        wl = jnp.asarray(np.stack([self._outlier_w(seed=s)
+                                   for s in range(3)]))
+        pql = quantize_params({"lin": {"w": wl}}, bits=4, group=32)["lin"]
+        assert pql["q4"].shape == (3, 64, 128)
+        assert pql["scale"].shape == (3, 4, 128)
+        # indivisible group: silent per-channel fallback
+        pqf = quantize_params({"lin": {"w": w}}, bits=4, group=48)["lin"]
+        assert pqf["scale"].shape == (128,)
+        # int8 ignores group
+        pq8 = quantize_params({"lin": {"w": w}}, bits=8, group=32)["lin"]
+        assert pq8["scale"].shape == (128,)
+
+    def test_grouped_beats_per_channel_on_outliers(self):
+        """An in-row outlier coarsens EVERY row's step under per-channel
+        scales but only its own 32-row block under grouped scales — the
+        output error (rms over a random probe) must drop accordingly."""
+        rng = np.random.RandomState(12)
+        w = self._outlier_w()
+        x = np.asarray(rng.randn(16, 128), np.float32)
+        full = x @ w
+        outs = {}
+        for g in (0, 32):
+            pq = quantize_params({"lin": {"w": jnp.asarray(w)}},
+                                 bits=4, group=g)["lin"]
+            outs[g] = np.asarray(linear(pq, jnp.asarray(x)))
+        rms = {g: np.sqrt(((y - full) ** 2).mean()) for g, y in outs.items()}
+        assert rms[32] < rms[0] * 0.7, rms
+
+    def test_linear_xla_fallback_matches_dequant(self):
+        """_core's grouped branch (CPU path) == explicit numpy dequant."""
+        from pocket_tts_tpu.ops.quant_matmul import unpack_int4
+        rng = np.random.RandomState(12)
+        w = self._outlier_w()
+        x = jnp.asarray(rng.randn(4, 128).astype(np.float32))
+        pq = quantize_params({"lin": {"w": jnp.asarray(w)}},
+                             bits=4, group=32)["lin"]
+        deq = (np.asarray(unpack_int4(pq["q4"]))
+               * np.repeat(np.asarray(pq["scale"]), 32, axis=0))
+        ref = np.asarray(x) @ deq
+        got = np.asarray(linear(pq, x))
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    def test_pallas_grouped_interpret_matches_xla(self):
+        from pocket_tts_tpu.ops.quant_matmul import (int4_matmul_pallas,
+                                                     pack_int4, unpack_int4)
+        rng = np.random.RandomState(13)
+        L, K, N = 3, 128, 256
+        x = jnp.asarray(rng.randn(2, K).astype(np.float32))
+        qi = rng.randint(-8, 8, (L, K, N))
+        packed = np.stack([pack_int4(qi[i]) for i in range(L)])
+        s = rng.rand(L, K // 32, N).astype(np.float32) * 0.01
+        for layer in range(L):
+            deq = qi[layer].astype(np.float32) * np.repeat(s[layer], 32,
+                                                           axis=0)
+            ref = np.asarray(x) @ deq
+            y = int4_matmul_pallas(x, jnp.asarray(packed), jnp.asarray(s),
+                                   layer=layer, interpret=True)
+            np.testing.assert_allclose(np.asarray(y), ref, atol=2e-3)
+        # unstacked entry too
+        y0 = int4_matmul_pallas(x, jnp.asarray(packed[0]),
+                                jnp.asarray(s[0]), interpret=True)
+        ref0 = np.asarray(x) @ (qi[0].astype(np.float32)
+                                * np.repeat(s[0], 32, axis=0))
+        np.testing.assert_allclose(np.asarray(y0), ref0, atol=2e-3)
+        del unpack_int4
+
+    def test_fused_kernels_reject_grouped(self):
+        """fused_layer.supported / fused_flow gating must fall back on the
+        grouped layout (their kernels assume one scale row)."""
+        from pocket_tts_tpu.ops import fused_layer
+        pq = quantize_params(PARAMS, bits=4, group=32)
+        from pocket_tts_tpu.ops.basic import slice_layer_params
+        lp = slice_layer_params(pq["layers"], 0)
+        if "q4" in lp["in_proj"]:        # tiny dims may skip some modules
+            assert not fused_layer.supported(lp)
+
+    def test_q4_0_engine_synthesizes(self):
+        eng = TTSEngine(params=PARAMS, cfg=CFG, quantize="q4_0",
+                        tokenizer=MockTokenizer(CFG.lut.n_bins))
+        voice = random_voice_prompt(CFG, 16)
+        pcm = eng.synthesize("Grouped scales speak too.", voice, temp=0.0)
+        assert pcm.size > 0 and np.isfinite(pcm).all()
+
+    def test_grouped_cache_roundtrip(self, tmp_path):
+        pq = quantize_params(PARAMS, bits=4, group=32)
+        path = str(tmp_path / "cache_q40.safetensors")
+        save_params_cache(pq, path)
+        loaded = load_params_cache(path)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            pq, loaded)
+
+
 class TestQuantBatched:
     def test_vmap_collapses_to_rows(self):
         """The custom vmap rule must stack the batch into matmul rows and
