@@ -87,7 +87,7 @@ def main():
     from pocket_tts_tpu.runtime.batched import (batched_decode_sentence,
                                                 batched_prime_voice,
                                                 batched_sentence_prefill,
-                                                stack_states)
+                                                mesh_cfg, stack_states)
     from pocket_tts_tpu.text.preprocess import count_words, prepare_text_prompt
     from pocket_tts_tpu.text.tokenizer import MockTokenizer
 
@@ -212,24 +212,29 @@ def main():
     roof_fps_int4 = peak_bw / bytes_pf_q4
     roof_fps_b1_srv = peak_bw / bytes_pf_srv
 
-    # batched aggregate throughput (32 sentences x 32 voices; BASELINE cfg 4)
+    # batched aggregate throughput (32 sentences x 32 voices; BASELINE cfg 4).
+    # The batched cfgs resolve through mesh_cfg(…, None) — the exact cfg
+    # BatchedEngine ships with (it auto-enables the fused KV-insert kernel,
+    # measured +5.8% at B=32 on v5e).
+    cfg_b = mesh_cfg(cfg, None)
+    cfg_srv_b = mesh_cfg(cfg_srv, None)
     B = 32
     prompts = jnp.asarray(np.stack(
         [np.pad(random_voice_prompt(cfg, 120, seed=i), ((0, 8), (0, 0)))
          for i in range(B)])).astype(dtype)
     vs = stack_states([backbone.init_state(cfg.backbone, dtype)
                        for _ in range(B)])
-    vs = batched_prime_voice(params, cfg, vs, prompts,
+    vs = batched_prime_voice(params, cfg_b, vs, prompts,
                              jnp.full((B,), 120, jnp.int32))
     vs = backbone.shrink_state(vs, 384)
     toks_b = jnp.tile(tokens[None], (B, 1))
-    sts = batched_sentence_prefill(params, cfg, vs, mimi_template, toks_b,
+    sts = batched_sentence_prefill(params, cfg_b, vs, mimi_template, toks_b,
                                    jnp.full((B,), len(ids), jnp.int32))
     rngs = jnp.stack([jax.random.PRNGKey(i) for i in range(B)])
 
     def runb():
         _, pcm, valid = batched_decode_sentence(
-            params, cfg, sts, rngs, jnp.full((B,), 0.0, jnp.float32),
+            params, cfg_b, sts, rngs, jnp.full((B,), 0.0, jnp.float32),
             jnp.full((B,), 3, jnp.int32), jnp.full((B,), max_steps, jnp.int32),
             scan_len)
         return pcm, valid
@@ -246,21 +251,21 @@ def main():
         prompts_b = jnp.asarray(np.stack(
             [np.pad(random_voice_prompt(cfg, 120, seed=i), ((0, 8), (0, 0)))
              for i in range(bsz)])).astype(dtype)
-        vsq = batched_prime_voice(params_q4, cfg_srv,
+        vsq = batched_prime_voice(params_q4, cfg_srv_b,
                                   stack_states([backbone.init_state(
-                                      cfg_srv.backbone, dtype)
+                                      cfg_srv_b.backbone, dtype)
                                       for _ in range(bsz)]),
                                   prompts_b, jnp.full((bsz,), 120, jnp.int32))
         vsq = backbone.shrink_state(vsq, 384)
         stsq = batched_sentence_prefill(
-            params_q4, cfg_srv, vsq, mimi_template,
+            params_q4, cfg_srv_b, vsq, mimi_template,
             jnp.tile(tokens[None], (bsz, 1)),
             jnp.full((bsz,), len(ids), jnp.int32))
         rngs_b = jnp.stack([jax.random.PRNGKey(i) for i in range(bsz)])
 
         def runq():
             _, pcm, valid = batched_decode_sentence(
-                params_q4, cfg_srv, stsq, rngs_b,
+                params_q4, cfg_srv_b, stsq, rngs_b,
                 jnp.full((bsz,), 0.0, jnp.float32),
                 jnp.full((bsz,), 3, jnp.int32),
                 jnp.full((bsz,), max_steps, jnp.int32), scan_len)

@@ -49,11 +49,14 @@ class BackboneConfig:
     # Fold the per-token KV-row insert into the Pallas decode-attention
     # kernel (analytic merge + aligned-window DMA write-back) instead of
     # 2-4 dynamic_update_slice dispatches per layer — only takes effect
-    # when the Pallas decode kernel runs. False restores the DUS path.
-    # Default False until the kernel's Mosaic acceptance + win are
-    # confirmed on hardware (the TPU tunnel was down when it was built);
-    # flip after /tmp/measure_insert.py validates on a real chip.
-    fuse_insert: bool = False
+    # when the Pallas decode kernel runs. Measured on v5e
+    # (tools/measure_kernels.py, device-trace, bit-identical audio):
+    # +5.8% aggregate at batch-32 serving (43.1k vs 40.7k f/s), a wash at
+    # B=1 (the DUS is ~free solo). None = auto: ON for batched serving
+    # (resolved by runtime.batched.mesh_cfg, which every batched consumer
+    # builds its cfg through), OFF for solo decode (None is falsy at the
+    # kernel-dispatch site). True/False force it either way.
+    fuse_insert: bool = None
     # Whole-layer megakernel for SOLO quantized decode (ops/fused_step.py):
     # norm1+in_proj -> in-kernel rope + KV quantize -> fused insert+flash
     # -> out_proj+MLP in ONE Pallas call per layer. Batched paths keep the

@@ -171,7 +171,12 @@ def unpack_int4(q4, dtype=jnp.float32):
 #           correct -8*rowsum(x_lo) on the accumulator
 # All bit-match the baseline in interpret mode (the corrections are exact
 # in f32 at int4 magnitudes).
-INT4_SCHEME = "unpack"
+#
+# Measured on v5e (tools/micro_int4.py, real B=1 int4 decode loop,
+# device-trace): rawdot 6263 f/s vs unpack 5799 vs lo8 5773 — the extra
+# MXU half-pass is free next to the saved VPU elementwise stream, so
+# rawdot is the default.
+INT4_SCHEME = "rawdot"
 
 
 def _int4_dots(x_lo, x_hi, w4, scheme=None):

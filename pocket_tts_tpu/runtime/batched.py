@@ -360,9 +360,16 @@ def mesh_cfg(cfg, mesh):
     un-partitionable custom calls and crashes on real multi-chip hardware
     (invisible on CPU test meshes, where Pallas auto-disables).
     """
+    import dataclasses
+    if cfg.backbone.fuse_insert is None:
+        # auto: the fused KV-insert kernel pays at batch (+5.8% aggregate
+        # at B=32 on v5e, tools/measure_kernels.py) where the per-layer
+        # DUS dispatches are ~50 us/frame of fixed cost; solo decode
+        # (TTSEngine, not built through this helper) leaves it off.
+        cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+            cfg.backbone, fuse_insert=True))
     if mesh is None:
         return cfg
-    import dataclasses
     model = mesh.shape.get("model", 1)
 
     def sub(c):

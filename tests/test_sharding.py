@@ -172,5 +172,11 @@ class TestShardMapPallas:
                        ContinuousBatchingServer(eng, lanes=4, mesh=mesh)):
             for sub in (server.cfg.backbone, server.cfg.mimi.transformer):
                 assert (sub.mesh is mesh) or (sub.use_pallas_attn is False)
-        # and without a mesh the engine cfg passes through untouched
-        assert MultiStreamServer(eng, max_batch=4).cfg is eng.cfg
+        # and without a mesh the only change is the batched-serving
+        # auto-resolution of fuse_insert (None -> True; measured win at
+        # batch, wash solo) — everything else passes through untouched
+        no_mesh = MultiStreamServer(eng, max_batch=4).cfg
+        assert no_mesh.backbone.fuse_insert is True
+        assert no_mesh == dataclasses.replace(
+            eng.cfg, backbone=dataclasses.replace(
+                eng.cfg.backbone, fuse_insert=True))
