@@ -186,7 +186,9 @@ def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ls2_ref,
         b32 = w2p.astype(f)
         hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
         w2hi = hi32.astype(ln.dtype)
-        if INT4_SCHEME == "rawdot":
+        # rawdot only for single-row dispatches — see INT4_SCHEME's note
+        # (no batch win; Mosaic compile crash at T=64 rows)
+        if INT4_SCHEME == "rawdot" and ln.shape[0] == 1:
             lo_half = ("rawdot", b32.astype(ln.dtype), w2hi)
         elif INT4_SCHEME == "lo8":
             lo_half = ("bias8", (b32 - 16.0 * hi32).astype(ln.dtype), None)

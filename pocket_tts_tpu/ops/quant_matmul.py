@@ -175,7 +175,10 @@ def unpack_int4(q4, dtype=jnp.float32):
 # Measured on v5e (tools/micro_int4.py, real B=1 int4 decode loop,
 # device-trace): rawdot 6263 f/s vs unpack 5799 vs lo8 5773 — the extra
 # MXU half-pass is free next to the saved VPU elementwise stream, so
-# rawdot is the default.
+# rawdot is the default. rawdot applies ONLY to single-row dispatches
+# (_int4_dots gates on T==1): at batch the unpack amortizes over rows so
+# rawdot gains nothing (40.6k vs 40.7k f/s at B=32), and Mosaic's
+# remote compile crashes outright on the rawdot kernel at T=64 rows.
 INT4_SCHEME = "rawdot"
 
 
@@ -185,6 +188,8 @@ def _int4_dots(x_lo, x_hi, w4, scheme=None):
     f = jnp.float32
     dt = x_lo.dtype
     scheme = scheme or INT4_SCHEME
+    if scheme == "rawdot" and x_lo.shape[0] != 1:
+        scheme = "unpack"
     b32 = w4.astype(f)
     hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
     hi = hi32.astype(dt)
