@@ -33,7 +33,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .quant_matmul import _int4_dots
+from .quant_matmul import _int4_dots, unpack_int4
+
+# Mosaic's remote compile crashes on these kernels above 64 collapsed
+# rows (bisected on v5e at B=128 cohort serving; B=64 compiles and runs
+# at 48.2k f/s). Past the limit the custom_vmap rules fall back to an
+# XLA composition of the same math — B=128 then runs at ~45.9k f/s,
+# i.e. the batch knee is at 64 where the fused kernels still engage.
+MAX_FUSED_ROWS = 64
 
 
 def _ln_f32(x_ref, scale_ref, bias_ref, eps):
@@ -350,6 +357,53 @@ def _zeros_like_bias(w, stacked, n):
     return jnp.zeros(shape, jnp.bfloat16)
 
 
+def _deq_full(w, bits, dtype):
+    """Full dequantized weight block (K, N) in the compute dtype, scales
+    NOT applied (they fold into the f32 accumulator like _deq_dot)."""
+    if bits == 4:
+        return unpack_int4(w, dtype)
+    return w.astype(dtype)
+
+
+def _xla_linear(x, w, s, b, layer, bits):
+    """XLA mirror of _deq_dot (+bias): (x @ deq(w[l])) * s + b -> f32.
+    w: (L, Kp, N) or (Kp, N); s/b: (L, N) or (N,) matching w's stacking."""
+    f = jnp.float32
+    if w.ndim == 3:
+        w, s, b = w[layer], s[layer], b[layer]
+    acc = jax.lax.dot_general(x, _deq_full(w, bits, x.dtype),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=f)
+    return acc * s.reshape(1, -1).astype(f) + b.reshape(1, -1).astype(f)
+
+
+def _xla_ln(x32, ns, nb, eps, dtype):
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = xc * jax.lax.rsqrt(var + eps)
+    return (ln * ns.astype(jnp.float32)
+            + nb.astype(jnp.float32)).astype(dtype)
+
+
+def _pre_xla(x, ns, nb, w, s, b, layer, bits, eps):
+    """XLA fallback for _pre_call above MAX_FUSED_ROWS (same math)."""
+    ln = _xla_ln(x.astype(jnp.float32), ns, nb, eps, x.dtype)
+    return _xla_linear(ln, w, s, b, layer, bits).astype(x.dtype)
+
+
+def _post_xla(x, attn, wo, so, bo, ls1, ls2, ns, nb, w1, s1, b1, w2, s2,
+              b2, layer, bits, eps, approx):
+    """XLA fallback for _post_call above MAX_FUSED_ROWS (same math)."""
+    f = jnp.float32
+    proj = _xla_linear(attn, wo, so, bo, layer, bits)
+    x1 = x.astype(f) + ls1.reshape(1, -1).astype(f) * proj
+    ln = _xla_ln(x1, ns, nb, eps, x.dtype)
+    h = _gelu_f32(_xla_linear(ln, w1, s1, b1, layer, bits), approx)
+    up = _xla_linear(h.astype(x.dtype), w2, s2, b2, layer, bits)
+    return (x1 + ls2.reshape(1, -1).astype(f) * up).astype(x.dtype)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_pre(layer, bits, eps, interpret):
     @jax.custom_batching.custom_vmap
@@ -360,7 +414,11 @@ def _make_pre(layer, bits, eps, interpret):
     def _rule(axis_size, in_batched, x, ns, nb, w, s, b):
         assert in_batched[0] and not any(in_batched[1:]), in_batched
         t = x.shape[1]
-        y = fn(x.reshape(axis_size * t, -1), ns, nb, w, s, b)
+        xr = x.reshape(axis_size * t, -1)
+        if axis_size * t > MAX_FUSED_ROWS:
+            y = _pre_xla(xr, ns, nb, w, s, b, layer, bits, eps)
+        else:
+            y = fn(xr, ns, nb, w, s, b)
         return y.reshape(axis_size, t, -1), True
 
     return fn
@@ -379,8 +437,14 @@ def _make_post(layer, bits, eps, approx, interpret):
         assert in_batched[0] and in_batched[1], in_batched
         assert not any(in_batched[2:]), in_batched
         t = x.shape[1]
-        y = fn(x.reshape(axis_size * t, -1), attn.reshape(axis_size * t, -1),
-               wo, so, bo, ls1, ls2, ns, nb, w1, s1, b1, w2, s2, b2)
+        xr = x.reshape(axis_size * t, -1)
+        ar = attn.reshape(axis_size * t, -1)
+        if axis_size * t > MAX_FUSED_ROWS:
+            y = _post_xla(xr, ar, wo, so, bo, ls1, ls2, ns, nb, w1, s1, b1,
+                          w2, s2, b2, layer, bits, eps, approx)
+        else:
+            y = fn(xr, ar, wo, so, bo, ls1, ls2, ns, nb, w1, s1, b1, w2,
+                   s2, b2)
         return y.reshape(axis_size, t, -1), True
 
     return fn

@@ -195,3 +195,33 @@ class TestFusedLayer:
             _, y_p = backbone.forward(pq, cfg_p, s, jnp.array(step))
             np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
                                        atol=2e-4, err_msg=f"bits={bits}")
+
+    def test_large_batch_vmap_falls_back_to_xla(self):
+        """Above MAX_FUSED_ROWS collapsed rows the custom_vmap rules must
+        dispatch the XLA fallback (Mosaic's remote compile crashes on the
+        kernels at T=128 rows on hardware — bisected at B=128 cohort
+        serving) and still match the unfused math per stream."""
+        rng = np.random.RandomState(11)
+        dm = CFG.backbone.d_model
+        bsz = fused_layer.MAX_FUSED_ROWS + 32
+        xs = jnp.asarray(rng.randn(bsz, 1, dm).astype(np.float32) * 0.3)
+        ats = jnp.asarray(rng.randn(bsz, 1, dm).astype(np.float32) * 0.3)
+        for bits in (8, 4):
+            p = _layer_params(bits)
+            # interpret=True would make an accidental kernel dispatch work
+            # on CPU; interpret=False means this test FAILS loudly if the
+            # >MAX_FUSED_ROWS guard ever regresses (pallas tpu lowering
+            # errors off-TPU)
+            got_pre = jax.vmap(lambda x: fused_layer.pre_attention(
+                p, x, interpret=False))(xs)
+            want_pre = jax.vmap(lambda x: _unfused_pre(p, x))(xs)
+            np.testing.assert_allclose(np.asarray(got_pre),
+                                       np.asarray(want_pre), atol=1e-4,
+                                       err_msg=f"pre bits={bits}")
+            got_post = jax.vmap(lambda x, a: fused_layer.post_attention(
+                p, x, a, interpret=False))(xs, ats)
+            want_post = jax.vmap(lambda x, a: _unfused_post(p, x, a))(
+                xs, ats)
+            np.testing.assert_allclose(np.asarray(got_post),
+                                       np.asarray(want_post), atol=2e-4,
+                                       err_msg=f"post bits={bits}")
