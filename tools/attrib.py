@@ -44,8 +44,14 @@ fae = jnp.int32(3)
 
 cfg_srv = dataclasses.replace(cfg, backbone=dataclasses.replace(
     cfg.backbone, quantize_kv=True))
+# batch modes resolve through mesh_cfg(None) like the shipping
+# BatchedEngine (fuse_insert auto-on at batch)
+from pocket_tts_tpu.runtime.batched import mesh_cfg  # noqa: E402
+if mode.startswith("b32"):
+    cfg = mesh_cfg(cfg, None)
+    cfg_srv = mesh_cfg(cfg_srv, None)
 
-if mode == "b1int4":
+if mode in ("b1int4", "b1int4scan"):
     params_x, cfg_x = quantize_params(params, bits=4), cfg_srv
 elif mode == "b1bf16":
     params_x, cfg_x = params, cfg
@@ -63,11 +69,21 @@ if mode.startswith("b1"):
                                       mimi_template, tokens,
                                       jnp.int32(len(ids)))
 
-    def run():
-        _, pcm, valid = tts.jit_decode_sentence_early_exit(
-            params_x, cfg_x, state0, rng, temp, fae,
-            jnp.int32(max_steps), scan_len)
-        return pcm, valid
+    if mode.endswith("scan"):
+        # the scan decoder's in-loop ops get individual trace events (the
+        # early-exit while_loop is one opaque event) — use it to attribute
+        # the B=1 frame
+        def run():
+            _, pcm, valid = tts.jit_decode_sentence(
+                params_x, cfg_x, state0, rng, temp, fae,
+                jnp.int32(max_steps), scan_len)
+            return pcm, valid
+    else:
+        def run():
+            _, pcm, valid = tts.jit_decode_sentence_early_exit(
+                params_x, cfg_x, state0, rng, temp, fae,
+                jnp.int32(max_steps), scan_len)
+            return pcm, valid
     B = 1
 else:
     from pocket_tts_tpu.runtime.batched import (batched_decode_sentence,
@@ -112,6 +128,7 @@ with gzip.open(files[-1]) as f:
 
 # device-thread op events: group by op-name (strip trailing .digits)
 by = defaultdict(lambda: [0.0, 0])
+skipped = defaultdict(lambda: [0.0, 0])
 jit_total = 0.0
 pat = re.compile(r"\.\d+$")
 for e in data.get("traceEvents", []):
@@ -130,6 +147,10 @@ for e in data.get("traceEvents", []):
                     r"transpose|concatenate|slice|select|iota|rng|pad|"
                     r"log|exp|constant|get-tuple|tuple|parameter|"
                     r"copy-start|copy-done)", name):
+        # the Mosaic kernels carry their pallas kernel names — collect
+        # them in a separate bucket instead of dropping them
+        skipped[pat.sub("", name)][0] += e["dur"] / 1e3
+        skipped[pat.sub("", name)][1] += 1
         continue
     key = pat.sub("", name)
     by[key][0] += e["dur"] / 1e3
@@ -143,3 +164,7 @@ print(f"{'op':<52}{'ms':>9}{'n':>7}{'us/frame':>10}")
 for k, (ms, n) in rows[:45]:
     print(f"{k[:51]:<52}{ms:>9.2f}{n:>7}{ms * 1e3 / frames:>10.2f}")
 print(f"\nother: {dev_total - sum(ms for _, (ms, n) in rows[:45]):.2f} ms")
+srows = sorted(skipped.items(), key=lambda kv: -kv[1][0])
+print("\nnon-XLA-op events (kernels, host, misc):")
+for k, (ms, n) in srows[:25]:
+    print(f"{k[:51]:<52}{ms:>9.2f}{n:>7}{ms * 1e3 / frames:>10.2f}")
