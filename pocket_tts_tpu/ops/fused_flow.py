@@ -186,6 +186,7 @@ def _make_flow(bits_map, depth, dim, interpret):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((bsz, latent), x.dtype),
             interpret=interpret,
+            name="flow_net_fused",
         )(x, c, tc, wi, si, bi, wc, sc, bc, lns, lnb, wa, sa, ba,
           w0, s0, b0, w2, s2, b2, fns, fnb, wfa, sfa, bfa, wf, sf, bf)
 

@@ -145,6 +145,7 @@ def _pre_call(x, norm_scale, norm_bias, w, scale, bias, layer, bits,
         out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((t, dm), x.dtype)],
         interpret=interpret,
+        name="layer_pre_attn",
     )(x, norm_scale.reshape(1, dm), norm_bias.reshape(1, dm), w, scale2,
       bias2)
 
@@ -309,6 +310,7 @@ def _post_call(x, attn, wo, so, bo, ls1, ls2, norm_scale, norm_bias,
                         pltpu.VMEM((t, dm), x.dtype),
                         pltpu.VMEM((t, dm), jnp.float32)],
         interpret=interpret,
+        name="layer_post_attn",
     )(*operands)
 
 

@@ -472,6 +472,7 @@ def _megalayer_call(x, n1, w_in, s_in, b_in, cs, cur_pos, k_cache, v_cache,
         out_shape=out_shape,
         input_output_aliases=aliases,
         interpret=interpret,
+        name="megalayer",
     )(jnp.stack([jnp.asarray(read_end, jnp.int32),
                  jnp.asarray(write_slot, jnp.int32)]),
       jnp.asarray(cur_pos, jnp.int32).reshape(1), *operands)

@@ -218,6 +218,7 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, 1, h * d), q.dtype),
         interpret=interpret,
+        name="flash_decode",
     )(jnp.asarray(end, jnp.int32).reshape(1), *operands)
     return out.reshape(bsz, h, d)
 
@@ -633,6 +634,7 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
         out_shape=out_shape,
         input_output_aliases=aliases,
         interpret=interpret,
+        name="flash_decode_insert",
     )(*scalars, *operands)
     out, kc, vc = outs[0], outs[1], outs[2]
     out = out.reshape(bsz, h, d)

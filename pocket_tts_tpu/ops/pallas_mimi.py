@@ -200,6 +200,7 @@ def _make_ring_attention(num_heads: int, context: int, interpret: bool):
             # v_cache=6
             input_output_aliases={5: 1, 6: 2},
             interpret=interpret,
+            name="mimi_ring_attn",
         )(jnp.asarray(offset, jnp.int32).reshape(1),
           jnp.asarray(starts, jnp.int32),
           q, k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),

@@ -265,6 +265,7 @@ def _seanet_batched(cfg, interpret, z, carries, weights):
             (bsz, t3, st3.stride * cfg.out_ch), z.dtype)]
             + [jax.ShapeDtypeStruct(c.shape, c.dtype) for c in carries]),
         interpret=interpret,
+        name="seanet_frame",
     )(z, *carries, *weights)
     return outs[0], tuple(outs[1:])
 

@@ -124,6 +124,7 @@ def int8_matmul_pallas(x, q, scale, layer=None, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((tp, n), x.dtype),
         interpret=interpret,
+        name="deq_matmul",
     )(x, q, scale)
     return y[:t] if tp != t else y
 
@@ -273,6 +274,7 @@ def int4_matmul_pallas(x, q4, scale, layer=None, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((tp, n), x.dtype),
         interpret=interpret,
+        name="deq_matmul_grouped",
     )(x, q4, scale)
     return y[:t] if tp != t else y
 
