@@ -86,6 +86,18 @@ def build_parser():
     p.add_argument("--megalayer", action="store_true",
                    help="whole-layer megakernel for solo quantized decode "
                         "(implies --fuse-insert; experimental)")
+    p.add_argument("--serve", default=None, metavar="PATH",
+                   help="continuous-serving mode: read requests from PATH "
+                   "('-' = stdin; JSONL objects with text/voice/temp/id or "
+                   "plain text lines), decode them through the "
+                   "ContinuousBatchingServer (per-chunk admission, no "
+                   "cohort padding) and write one wav per request")
+    p.add_argument("--serve-out", default=None, metavar="DIR",
+                   help="output directory for --serve wavs "
+                   "(default: serve_out)")
+    p.add_argument("--lanes", type=int, default=32,
+                   help="continuous server decode lanes (--serve; the "
+                   "bench knee on v5e is 32-64)")
     p.add_argument("--compile-cache", default=None, metavar="DIR",
                    help="persistent XLA compilation cache directory "
                         "(default ~/.cache/pocket_tts_tpu/xla; 'off' "
@@ -98,6 +110,92 @@ def build_parser():
 def _enable_compile_cache(path):
     from .utils.profiling import enable_compile_cache
     enable_compile_cache(path)
+
+
+def _serve(engine, args, default_voice, model_path):
+    """Drain a request file through the ContinuousBatchingServer.
+
+    Each input line is one request: a JSON object ({"text": ...,
+    "voice"?: ..., "temp"?: ..., "id"?: ...}) or a plain text line.
+    Multi-sentence texts re-chunk through the engine's sentence splitter
+    (the reference's streaming protocol, text.h:126-178) and the chunks'
+    audio concatenates back into ONE wav per request. The serving engine
+    itself admits per chunk into a running batch — a lone request does
+    not pay cohort padding and a late one does not wait for a cohort
+    (runtime/server.py).
+    """
+    from .io.params import load_voice
+    from .io.wav import save_wav
+    from .runtime.engine import DEFAULT_VOICES
+    from .runtime.server import ContinuousBatchingServer
+    from .text.preprocess import split_into_best_sentences
+
+    lines = (sys.stdin.read() if args.serve == "-"
+             else open(args.serve).read()).splitlines()
+    reqs = []
+    for i, line in enumerate(lines):
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("{"):
+            obj = json.loads(line)
+        else:
+            obj = {"text": line}
+        obj.setdefault("id", f"req_{i:04d}")
+        obj.setdefault("voice", "default")
+        obj.setdefault("temp", args.temperature
+                       if args.temperature is not None else 0.6)
+        reqs.append(obj)
+    if not reqs:
+        print("no requests in input", file=sys.stderr)
+        return 1
+
+    srv = ContinuousBatchingServer(engine, lanes=args.lanes)
+
+    def resolve(name):
+        if not isinstance(default_voice, str):
+            # random weights: every name maps to the synthetic prompt
+            return np.asarray(default_voice, np.float32)
+        v = default_voice if name == "default" else name
+        path = (os.path.join(model_path, "embeddings", v + ".safetensors")
+                if v in DEFAULT_VOICES else v)
+        return np.asarray(load_voice(path), np.float32)
+
+    srv.register_voices({name: resolve(name)
+                         for name in {r["voice"] for r in reqs}})
+
+    budget = min(50, srv.text_bucket)
+    parts = []  # (request index, chunk index, server Request)
+    for ri, obj in enumerate(reqs):
+        for ci, chunk in enumerate(split_into_best_sentences(
+                engine.tokenizer, obj["text"], budget)):
+            parts.append((ri, ci, srv.submit(chunk, obj["voice"],
+                                             float(obj["temp"]))))
+
+    t0 = time.perf_counter()
+    srv.run_pending()
+    wall = time.perf_counter() - t0
+
+    outdir = args.serve_out or "serve_out"
+    os.makedirs(outdir, exist_ok=True)
+    per_req = {}
+    for ri, ci, sr in parts:
+        per_req.setdefault(ri, []).append((ci, sr.pcm))
+    frames = 0
+    for ri, chunks in sorted(per_req.items()):
+        pcm = np.concatenate([p for _, p in sorted(chunks)])
+        frames += pcm.size // engine.frame_size
+        path = os.path.join(outdir, f"{reqs[ri]['id']}.wav")
+        save_wav(path, pcm, engine.sample_rate)
+    stats = srv.stats()
+    stats.update({
+        "requests": len(reqs), "chunks": len(parts), "lanes": srv.lanes,
+        "wall_s": round(wall, 3),
+        "aggregate_frames_per_second": round(frames / wall, 1),
+        "outdir": outdir,
+    })
+    print(json.dumps(stats))
+    return 0
 
 
 def main(argv=None):
@@ -135,7 +233,7 @@ def main(argv=None):
         if temp is None:
             temp = 0.0
     if text is None and not args.interactive and not args.save_cache \
-            and not args.fetch_models:
+            and not args.fetch_models and not args.serve:
         build_parser().print_help()
         return 1
     seed = 0 if seed is None else seed
@@ -213,6 +311,9 @@ def main(argv=None):
             return 0
 
     print(f"seed: {engine.seed}")
+
+    if args.serve:
+        return _serve(engine, args, voice, model_path)
 
     if args.batch > 1:
         # batched throughput mode: synthesize the text args.batch times

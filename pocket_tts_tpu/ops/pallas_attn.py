@@ -156,8 +156,10 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
     nb = s // block_size
     quant = k_scale is not None
     # streams per grid step: amortize the fixed per-step cost; bounded by
-    # VMEM (double-buffered k+v blocks) — int8 halves the block bytes
-    bytes_per_stream = 2 * 2 * block_size * h * d * (1 if quant else 2)
+    # VMEM (double-buffered k+v blocks) — sized by the ACTUAL cache
+    # itemsize (f32 caches are 2x bf16; the old 2-byte assumption
+    # overfilled the 16 MB scoped limit at group 4)
+    bytes_per_stream = 2 * 2 * block_size * h * d * k_cache.dtype.itemsize
     group = 1
     for cand in (4, 2):
         if bsz % cand == 0 and cand * bytes_per_stream <= 8 * 1024 * 1024:
@@ -548,7 +550,8 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
     quant = k_scale is not None
     win = min(_INSERT_WIN.get(k_cache.dtype.type, 32), block_size)
     assert block_size % win == 0, (block_size, win)
-    bytes_per_stream = 2 * 2 * block_size * h * d * (1 if quant else 2)
+    # sized by the actual cache itemsize — see _decode_attention_batched
+    bytes_per_stream = 2 * 2 * block_size * h * d * k_cache.dtype.itemsize
     group = 1
     for cand in (4, 2):
         if bsz % cand == 0 and cand * bytes_per_stream <= 8 * 1024 * 1024:

@@ -308,6 +308,16 @@ def _make_seanet(cfg, interpret):
                 out_specs=(bspec, tuple(bspec for _ in carries)),
                 check_vma=False)
             pcm, new = call(z, carries, weights)
+        elif z.dtype.itemsize > 2:
+            # f32 streams: the VMEM-resident weight set alone is ~16.4 MB
+            # f32, and the batched grid's per-stream double buffering
+            # pushes the scoped allocation past the 16 MB limit (measured
+            # OOM at 4 lanes). The single-stream program fits — run it
+            # per lane. f32 batch is a correctness/reference path; the
+            # serving paths are bf16/quantized and keep the batched grid.
+            outs = jax.lax.map(
+                lambda zc: fn(zc[0], *zc[1], *weights), (z, carries))
+            pcm, new = outs[0], tuple(outs[1:])
         else:
             pcm, new = _seanet_batched(cfg, interpret, z, carries, weights)
         return (pcm,) + new, (True,) * 9

@@ -50,8 +50,9 @@ CLI_ENV_SETUP = (
 )
 
 
-def run_cli(args, stdin=None):
-    """Run the CLI in-process against a tiny random model on CPU."""
+def run_cli(args, stdin=None, extra=""):
+    """Run the CLI in-process against a tiny random model on CPU.
+    extra: code run after the tiny DEFAULT_CONFIG swap (config tweaks)."""
     code = (
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
@@ -59,6 +60,7 @@ def run_cli(args, stdin=None):
         "import pocket_tts_tpu.cli as cli\n"
         "import pocket_tts_tpu.config as config\n"
         "config.DEFAULT_CONFIG = config.tiny_config()\n"
+        + extra +
         "cli.DEFAULT_CONFIG = config.DEFAULT_CONFIG\n"
         "sys.exit(cli.main(%r))\n" % (args,)
     )
@@ -112,3 +114,35 @@ class TestCli:
         assert r.returncode == 0, r.stderr[-2000:]
         import os
         assert os.path.exists(cache)
+
+
+@pytest.mark.slow
+class TestCliServe:
+    def test_serve_requests_file(self, tmp_path):
+        """--serve drains a mixed JSONL/plain request file through the
+        ContinuousBatchingServer and writes one wav per request, chunks
+        concatenated in order."""
+        reqs = tmp_path / "reqs.jsonl"
+        reqs.write_text(
+            "Hello there, request one.\n"
+            '{"id": "two", "text": "First sentence here. Then another '
+            'one follows.", "temp": 0.0}\n')
+        outdir = str(tmp_path / "out")
+        # the tiny config's 128-slot KV can't hold any request past the
+        # 96-slot prefix — serve against a 512-slot variant
+        grow = ("import dataclasses\n"
+                "config.DEFAULT_CONFIG = dataclasses.replace(\n"
+                "    config.DEFAULT_CONFIG, backbone=dataclasses.replace(\n"
+                "        config.DEFAULT_CONFIG.backbone, kv_capacity=512))\n")
+        r = run_cli(["--random-weights", "--lanes", "2",
+                     "--serve", str(reqs), "--serve-out", outdir],
+                    extra=grow)
+        assert r.returncode == 0, r.stderr[-2000:]
+        stats = json.loads(r.stdout.strip().splitlines()[-1])
+        assert stats["requests"] == 2
+        assert stats["chunks"] >= 2
+        a, sr = load_wav(outdir + "/req_0000.wav")
+        b, _ = load_wav(outdir + "/two.wav")
+        assert sr == 24000 and a.size > 0 and b.size > 0
+        # two.wav holds BOTH sentences of the request
+        assert b.size % 1920 == 0 and b.size // 1920 >= 2
