@@ -155,10 +155,14 @@ def _make_ring_attention(num_heads: int, context: int, interpret: bool):
         # streams per grid step: each step's serial cost is DMA of the
         # (group, cap, hd) cache blocks + ~1 us sequencing; fewer/bigger
         # steps win until the double-buffered blocks threaten VMEM
-        # (2 caches x 2 buffers x group x cap x hd x 2B <= 8 MB)
+        # (2 caches x 2 buffers x group x cap x hd x itemsize <= 12 MB —
+        # the q/kn/vn/out blocks and scratch stay well under the
+        # remaining 4 MB of the 16 MB scoped limit)
+        ebytes = k_cache.dtype.itemsize
         group = 1
         for cand in (8, 4, 2):
-            if bsz % cand == 0 and cand * cap * hd * 2 * 2 * 2 <= 8 * 2**20:
+            if (bsz % cand == 0
+                    and cand * cap * hd * 2 * 2 * ebytes <= 12 * 2**20):
                 group = cand
                 break
         kernel = functools.partial(
