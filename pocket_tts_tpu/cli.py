@@ -54,8 +54,9 @@ def build_parser():
                         "32-element K-grouped scales (reference Q4_0 "
                         "granularity, for outlier-heavy real weights)")
     p.add_argument("--quantize-kv", action="store_true",
-                   help="int8 KV cache (per-row scales): serving-throughput "
-                        "mode, halves decode attention cache reads")
+                   help="int8 backbone KV cache (per-row scales): "
+                        "serving-throughput mode, halves decode attention "
+                        "cache reads")
     p.add_argument("--quantize-convs", action="store_true",
                    help="also quantize the seanet/mimi conv chain (measured "
                         "net-negative on v5e at batch — see io/quant.py)")

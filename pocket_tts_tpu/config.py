@@ -107,6 +107,15 @@ class MimiTransformerConfig:
     # reference's ring had already overwritten — i.e. closer to the true
     # 250-step sliding window.
     capacity: int = 256
+    # Opt-in int8 ring KV (per-row absmax scales, like the backbone's
+    # cfg.backbone.quantize_kv). Halves the ring's cache bytes, but
+    # MEASURED SLOWER on v5e (-1.7% at B=32 serving, -1.9% B=1,
+    # tools/measure_mimi_kv.py): this cache is small and VMEM-resident
+    # per grid step, so the int8->bf16 cast + window-compose VPU work
+    # outweighs the halved reads (the opposite trade from the backbone's
+    # big bandwidth-bound cache). Kept as a memory knob; engine
+    # --quantize-kv deliberately does NOT enable it.
+    quantize_kv: bool = False
     # fused Pallas ring-insert+attention kernel (ops/pallas_mimi.py):
     # None = auto (TPU backends only); requires capacity % 16 == 0 and the
     # default -1e9 mask — reference-exact mode falls back to XLA

@@ -30,7 +30,7 @@ class MimiTransformerState:
     # the 4-D (cap, H, Dh) variant made the per-frame ring insert a
     # full-cache relayout copy at batch (16 us x4 per frame measured) and
     # fed the attention einsum a layout it could only read as VPU loops.
-    k: tuple          # L x (cap, H*Dh)
+    k: tuple          # L x (cap, H*Dh) — int8 when cfg.quantize_kv
     v: tuple          # L x (cap, H*Dh)
     offset: jax.Array  # () int32 — total timesteps seen (batch-uniform)
     # first timestep owned by this stream: 0 solo; under continuous batching
@@ -38,20 +38,31 @@ class MimiTransformerState:
     # making RoPE phases and the ring window relative to its own start (so
     # its audio equals solo synthesis). Per-stream under vmap.
     start: jax.Array   # () int32
+    # per-row f32 dequant scales, L x (cap,) — int8-KV mode only
+    k_scale: tuple = None
+    v_scale: tuple = None
 
 
 def init_state(cfg: MimiTransformerConfig, dtype=jnp.float32):
     shape = (cfg.capacity, cfg.num_heads * cfg.head_dim)
+    cache_dtype = jnp.int8 if cfg.quantize_kv else dtype
+    scales = (tuple(jnp.zeros((cfg.capacity,), jnp.float32)
+                    for _ in range(cfg.num_layers))
+              if cfg.quantize_kv else None)
     return MimiTransformerState(
-        k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
-        v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+        k=tuple(jnp.zeros(shape, cache_dtype)
+                for _ in range(cfg.num_layers)),
+        v=tuple(jnp.zeros(shape, cache_dtype)
+                for _ in range(cfg.num_layers)),
         offset=jnp.zeros((), jnp.int32),
         start=jnp.zeros((), jnp.int32),
+        k_scale=scales,
+        v_scale=scales,
     )
 
 
-def _layer(p, x, k_cache, v_cache, offset, start, cos, sin, bias, cfg,
-           gelu_approx: bool, pallas_mode: str):
+def _layer(p, x, k_cache, v_cache, k_scale, v_scale, offset, start, cos,
+           sin, bias, cfg, gelu_approx: bool, pallas_mode: str):
     t, dm = x.shape
     fused = False
     # cfg.mesh None: no GSPMD partitioning for the fused kernels (the XLA
@@ -74,29 +85,53 @@ def _layer(p, x, k_cache, v_cache, offset, start, cos, sin, bias, cfg,
     v = v.reshape(t, cfg.num_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    quant = k_cache.dtype == jnp.int8
+    k_rows = k.reshape(t, dm)
+    v_rows = v.reshape(t, dm)
+    if quant:
+        from .backbone import quantize_rows
+        k_rows, k_s = quantize_rows(k_rows)
+        v_rows, v_s = quantize_rows(v_rows)
     if pallas_mode != "off":
         # fused ring insert + attention: one kernel writes the 16 new rows
-        # (a 16-row DMA satisfies the bf16 tiling), computes the ring bias
-        # from iota arithmetic, and attends old cache + new block in a
-        # single flash merge (ops/pallas_mimi.py)
+        # (a 16-row DMA satisfies the bf16 tiling; int8 composes the
+        # enclosing 32-row aligned window), computes the ring bias from
+        # iota arithmetic, and attends old cache + new block in a single
+        # flash merge (ops/pallas_mimi.py)
         from ..ops.pallas_mimi import ring_insert_attention
-        attn_flat, k_cache, v_cache = ring_insert_attention(
-            q.reshape(t, dm), k.reshape(t, dm), v.reshape(t, dm),
-            k_cache, v_cache, offset, start,
-            num_heads=cfg.num_heads, context=cfg.context,
-            interpret=(pallas_mode == "interpret"), mesh=cfg.mesh)
-        attn = attn_flat
+        if quant:
+            attn, k_cache, v_cache, k_scale, v_scale = ring_insert_attention(
+                q.reshape(t, dm), k_rows, v_rows, k_cache, v_cache,
+                offset, start, num_heads=cfg.num_heads, context=cfg.context,
+                interpret=(pallas_mode == "interpret"), mesh=cfg.mesh,
+                ks_new=k_s, vs_new=v_s, k_scale=k_scale, v_scale=v_scale)
+        else:
+            attn, k_cache, v_cache = ring_insert_attention(
+                q.reshape(t, dm), k_rows, v_rows, k_cache, v_cache,
+                offset, start, num_heads=cfg.num_heads, context=cfg.context,
+                interpret=(pallas_mode == "interpret"), mesh=cfg.mesh)
     else:
-        k_cache = cache_insert_ring(k_cache, k.reshape(t, dm), offset)
-        v_cache = cache_insert_ring(v_cache, v.reshape(t, dm), offset)
-        attn = sdpa_seg(q, k_cache.astype(q.dtype),
-                        v_cache.astype(q.dtype), bias)
+        k_cache = cache_insert_ring(k_cache, k_rows, offset)
+        v_cache = cache_insert_ring(v_cache, v_rows, offset)
+        if quant:
+            # XLA fallback: ring-insert the scale rows too, dequantize in
+            # full (the Pallas kernel above is the fast path)
+            k_scale = cache_insert_ring(k_scale, k_s, offset)
+            v_scale = cache_insert_ring(v_scale, v_s, offset)
+            k_deq = (k_cache.astype(jnp.float32)
+                     * k_scale[:, None]).astype(q.dtype)
+            v_deq = (v_cache.astype(jnp.float32)
+                     * v_scale[:, None]).astype(q.dtype)
+        else:
+            k_deq = k_cache.astype(q.dtype)
+            v_deq = v_cache.astype(q.dtype)
+        attn = sdpa_seg(q, k_deq, v_deq, bias)
     if fused:
         return (fused_layer.post_attention(
             p, x, attn.reshape(t, dm), eps=cfg.norm_eps,
             approx=gelu_approx,
             interpret=(pallas_mode == "interpret")),
-            k_cache, v_cache)
+            k_cache, v_cache, k_scale, v_scale)
     x = x + p["layer_scale_1"]["scale"] * linear(
         p["out_proj"], attn.reshape(t, dm))
     h = layer_norm(p["norm2"], x, eps=cfg.norm_eps)
@@ -110,7 +145,7 @@ def _layer(p, x, k_cache, v_cache, offset, start, cos, sin, bias, cfg,
     else:
         up = linear(p["linear2"], gelu(linear(p["linear1"], h), gelu_approx))
     x = x + p["layer_scale_2"]["scale"] * up
-    return x, k_cache, v_cache
+    return x, k_cache, v_cache, k_scale, v_scale
 
 
 def forward(p, cfg: MimiTransformerConfig, state: MimiTransformerState, x,
@@ -124,9 +159,13 @@ def forward(p, cfg: MimiTransformerConfig, state: MimiTransformerState, x,
     use_pallas = cfg.use_pallas_attn
     if use_pallas is None:  # auto: Mosaic kernel on TPU, XLA elsewhere
         use_pallas = jax.default_backend() == "tpu"
-    # the kernel hard-codes the -1e9 mask and needs a T-aligned ring
+    # the kernel hard-codes the -1e9 mask and needs a T-aligned ring;
+    # int8-KV additionally needs the 32-row aligned insert window
     use_pallas = (use_pallas and cfg.capacity % t == 0
                   and cfg.mask_value == -1e9)
+    if cfg.quantize_kv:
+        use_pallas = (use_pallas and cfg.capacity % 32 == 0
+                      and 32 % t == 0)
     if use_pallas:
         pallas_mode = ("interpret" if jax.default_backend() == "cpu"
                        else "tpu")
@@ -137,13 +176,22 @@ def forward(p, cfg: MimiTransformerConfig, state: MimiTransformerState, x,
                                neg=cfg.mask_value, start=state.start)
 
     from ..ops.basic import slice_layer_params
-    k_new, v_new = [], []
+    k_new, v_new, ks_new, vs_new = [], [], [], []
     for l in range(cfg.num_layers):
         layer_p = slice_layer_params(p["layers"], l)
-        x, k_l, v_l = _layer(layer_p, x, state.k[l], state.v[l],
-                             state.offset, state.start, cos, sin, bias,
-                             cfg, gelu_approx, pallas_mode)
+        ks = state.k_scale[l] if state.k_scale is not None else None
+        vs = state.v_scale[l] if state.v_scale is not None else None
+        x, k_l, v_l, ks_l, vs_l = _layer(
+            layer_p, x, state.k[l], state.v[l], ks, vs,
+            state.offset, state.start, cos, sin, bias,
+            cfg, gelu_approx, pallas_mode)
         k_new.append(k_l)
         v_new.append(v_l)
-    return state.replace(k=tuple(k_new), v=tuple(v_new),
-                         offset=state.offset + t), x
+        ks_new.append(ks_l)
+        vs_new.append(vs_l)
+    quant = state.k_scale is not None
+    return state.replace(
+        k=tuple(k_new), v=tuple(v_new),
+        k_scale=tuple(ks_new) if quant else None,
+        v_scale=tuple(vs_new) if quant else None,
+        offset=state.offset + t), x

@@ -100,8 +100,9 @@ def batched_sentence_prefill(p, cfg, voice_states, mimi_template, tokens,
     maxes = maxes.replace(
         transformer=maxes.transformer.replace(offset=None))
     mimi_b = jax.tree.map(
-        lambda a, x: jnp.zeros_like(x) if a is None
-        else jnp.broadcast_to(jnp.zeros_like(x), (b,) + x.shape),
+        lambda a, x: x if x is None
+        else (jnp.zeros_like(x) if a is None
+              else jnp.broadcast_to(jnp.zeros_like(x), (b,) + x.shape)),
         maxes, mimi_template, is_leaf=lambda x: x is None)
     return tts.StreamState(
         flow=flow,

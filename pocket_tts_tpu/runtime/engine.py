@@ -63,9 +63,9 @@ class TTSEngine:
         scales — the reference's exact Q4_0 granularity — for real-weight
         checkpoints whose per-channel int4 error is outlier-dominated
         (see io/quant.quantization_error_report).
-        quantize_kv: int8 KV cache with per-row absmax scales — halves the
-        decode attention's cache reads (the dominant batched cost once
-        weights are quantized). Serving-throughput mode; slight
+        quantize_kv: int8 backbone KV cache with per-row absmax scales —
+        halves the decode attention's cache reads (the dominant batched
+        cost once weights are quantized). Serving-throughput mode; slight
         quantization noise on the audio.
         """
         self.model_path = model_path
@@ -88,6 +88,11 @@ class TTSEngine:
                                      else 8, convs=quantize_convs,
                                      group=32 if quantize == "q4_0" else 0)
         if quantize_kv:
+            # backbone cache only: the mimi ring's int8 variant
+            # (cfg.mimi.transformer.quantize_kv) measured a ~1.7% LOSS at
+            # B=32 serving on v5e (tools/measure_mimi_kv.py — its small
+            # cache is VMEM-resident per grid step, so the int8->bf16 cast
+            # outweighs the halved reads); it stays a cfg-level opt-in
             import dataclasses
             cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
                 cfg.backbone, quantize_kv=True))

@@ -67,7 +67,10 @@ def decode_frame_costs(params, cfg, kv_slots: int) -> Tuple[float, float]:
     kv_bytes = (cfg.backbone.num_layers * 2 * kv_slots
                 * (cfg.backbone.d_model * kv_item
                    + (4 if cfg.backbone.quantize_kv else 0)))
-    kv_bytes += mt.num_layers * 2 * mt.capacity * mt.d_model * itemsize
+    mimi_kv_item = 1 if mt.quantize_kv else itemsize
+    kv_bytes += (mt.num_layers * 2 * mt.capacity
+                 * (mt.d_model * mimi_kv_item
+                    + (4 if mt.quantize_kv else 0)))
     bytes_total = float(weight_bytes + kv_bytes)
 
     # ---- FLOPs ------------------------------------------------------------

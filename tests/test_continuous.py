@@ -287,17 +287,22 @@ class TestContinuousBatching:
 
 
 def test_ring_quantized_kv_matches_solo():
-    """Prefix+ring mode with the int8 KV cache (the bench's serving
-    config): dequant scales recycle slots alongside the rows; audio of a
-    wrap-crossing stream equals solo decode."""
+    """Prefix+ring mode with the int8 KV cache on BOTH transformers
+    (backbone quantize_kv + the opt-in mimi-ring variant): dequant scales
+    recycle slots alongside the rows in the backbone's prefix+ring AND
+    the mimi ring; audio of a wrap-crossing stream equals solo decode."""
     import dataclasses
     from pocket_tts_tpu.models import backbone, mimi, tts
     from pocket_tts_tpu.runtime.batched import (admit_group,
                                                 continuous_decode_chunk,
                                                 empty_batch_state,
                                                 stack_states)
-    cfg_q = dataclasses.replace(CFG, backbone=dataclasses.replace(
-        CFG.backbone, quantize_kv=True))
+    cfg_q = dataclasses.replace(
+        CFG,
+        backbone=dataclasses.replace(CFG.backbone, quantize_kv=True),
+        mimi=dataclasses.replace(
+            CFG.mimi, transformer=dataclasses.replace(
+                CFG.mimi.transformer, quantize_kv=True)))
     b = 2
     prefix, cap = 32, 64          # ring of 32 slots -> wraps quickly
     batch = empty_batch_state(PARAMS, cfg_q, b, cap, prefix, ring=True)

@@ -396,3 +396,104 @@ class TestMimiRingKernel:
             np.testing.assert_allclose(np.asarray(got[i]),
                                        np.asarray(want.reshape(t, hd)),
                                        atol=1e-5, err_msg=f"stream {i}")
+
+    def _xla_quant_step(self, q, kq, vq, ks, vs, kc, vc, ksc, vsc,
+                        offset, start, ctx):
+        """int8-KV XLA reference: ring-insert pre-quantized rows + scale
+        rows, dequantize in full (mimi_transformer._layer's fallback)."""
+        from pocket_tts_tpu.ops.attention import (cache_insert_ring,
+                                                  ring_cache_bias, sdpa_seg)
+        t, h, d = q.shape
+        kc2 = cache_insert_ring(kc, kq.reshape(t, h * d), offset)
+        vc2 = cache_insert_ring(vc, vq.reshape(t, h * d), offset)
+        ksc2 = cache_insert_ring(ksc, ks, offset)
+        vsc2 = cache_insert_ring(vsc, vs, offset)
+        k_deq = kc2.astype(jnp.float32) * ksc2[:, None]
+        v_deq = vc2.astype(jnp.float32) * vsc2[:, None]
+        bias = ring_cache_bias(t, kc.shape[0], offset, ctx, start=start)
+        return sdpa_seg(q, k_deq, v_deq, bias), kc2, vc2, ksc2, vsc2
+
+    @pytest.mark.parametrize("frames", [1, 3, 6])
+    def test_quant_matches_xla_over_frames(self, frames):
+        """int8-KV kernel path (aligned-window insert + in-kernel scale
+        folding) == the XLA dequant fallback, through ring wrap (cap=64,
+        6 frames of 16 wraps once)."""
+        from pocket_tts_tpu.models.backbone import quantize_rows
+        from pocket_tts_tpu.ops.pallas_mimi import ring_insert_attention
+        t, h, d, cap, ctx = 16, 2, 16, 64, 40
+        hd = h * d
+        rng = np.random.RandomState(13)
+        kc_x = jnp.zeros((cap, hd), jnp.int8)
+        vc_x = jnp.zeros((cap, hd), jnp.int8)
+        ks_x = jnp.zeros((cap,), jnp.float32)
+        vs_x = jnp.zeros((cap,), jnp.float32)
+        kc_p, vc_p, ks_p, vs_p = kc_x, vc_x, ks_x, vs_x
+        for f in range(frames):
+            off = jnp.int32(f * t)
+            q = jnp.asarray(rng.randn(t, h, d).astype(np.float32))
+            k = jnp.asarray(rng.randn(t, hd).astype(np.float32))
+            v = jnp.asarray(rng.randn(t, hd).astype(np.float32))
+            kq, ks = quantize_rows(k)
+            vq, vs = quantize_rows(v)
+            want, kc_x, vc_x, ks_x, vs_x = self._xla_quant_step(
+                q, kq, vq, ks, vs, kc_x, vc_x, ks_x, vs_x, off, 0, ctx)
+            got, kc_p, vc_p, ks_p, vs_p = ring_insert_attention(
+                q.reshape(t, hd), kq, vq, kc_p, vc_p, off, jnp.int32(0),
+                num_heads=h, context=ctx, interpret=True,
+                ks_new=ks, vs_new=vs, k_scale=ks_p, v_scale=vs_p)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(want.reshape(t, hd)),
+                                       atol=1e-5, err_msg=f"frame {f}")
+            np.testing.assert_array_equal(np.asarray(kc_p),
+                                          np.asarray(kc_x))
+            np.testing.assert_array_equal(np.asarray(vc_p),
+                                          np.asarray(vc_x))
+            np.testing.assert_allclose(np.asarray(ks_p), np.asarray(ks_x),
+                                       atol=0)
+            np.testing.assert_allclose(np.asarray(vs_p), np.asarray(vs_x),
+                                       atol=0)
+
+    @pytest.mark.parametrize("b", [3, 4])
+    def test_quant_vmap_with_starts(self, b):
+        """Batched int8-KV (incl. the group path at b=4) with per-stream
+        starts; t=16 exercises the sh=16 half of the 32-row window."""
+        from pocket_tts_tpu.models.backbone import quantize_rows
+        from pocket_tts_tpu.ops.pallas_mimi import ring_insert_attention
+        t, h, d, cap, ctx = 16, 2, 16, 64, 40
+        hd = h * d
+        rng = np.random.RandomState(17)
+        off = jnp.int32(48)  # slot0 = 48 -> window [32, 64), sh = 16
+        starts = jnp.asarray([0, 16, 32, 16][:b], jnp.int32)
+        q = jnp.asarray(rng.randn(b, t, h, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, t, hd).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, t, hd).astype(np.float32))
+        kq, ks = jax.vmap(quantize_rows)(k)
+        vq, vs = jax.vmap(quantize_rows)(v)
+        kc = jnp.asarray(
+            rng.randint(-127, 128, (b, cap, hd)).astype(np.int8))
+        vc = jnp.asarray(
+            rng.randint(-127, 128, (b, cap, hd)).astype(np.int8))
+        ksc = jnp.asarray(rng.rand(b, cap).astype(np.float32)) * 0.02
+        vsc = jnp.asarray(rng.rand(b, cap).astype(np.float32)) * 0.02
+        outs = jax.vmap(
+            lambda q1, kq1, vq1, ks1, vs1, kc1, vc1, ksc1, vsc1, s1:
+            ring_insert_attention(
+                q1.reshape(t, hd), kq1, vq1, kc1, vc1, off, s1,
+                num_heads=h, context=ctx, interpret=True,
+                ks_new=ks1, vs_new=vs1, k_scale=ksc1, v_scale=vsc1)
+        )(q, kq, vq, ks, vs, kc, vc, ksc, vsc, starts)
+        for i in range(b):
+            want, kc2, vc2, ks2, vs2 = self._xla_quant_step(
+                q[i], kq[i], vq[i], ks[i], vs[i], kc[i], vc[i],
+                ksc[i], vsc[i], off, int(starts[i]), ctx)
+            np.testing.assert_allclose(np.asarray(outs[0][i]),
+                                       np.asarray(want.reshape(t, hd)),
+                                       atol=1e-5, err_msg=f"stream {i}")
+            np.testing.assert_array_equal(np.asarray(outs[1][i]),
+                                          np.asarray(kc2))
+            np.testing.assert_array_equal(np.asarray(outs[2][i]),
+                                          np.asarray(vc2))
+            np.testing.assert_allclose(np.asarray(outs[3][i]),
+                                       np.asarray(ks2), atol=0)
+            np.testing.assert_allclose(np.asarray(outs[4][i]),
+                                       np.asarray(vs2), atol=0)

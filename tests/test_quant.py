@@ -566,3 +566,45 @@ class TestQuantizedKV:
         _, y_p = backbone.forward(PARAMS, cfgq_p, s, jnp.array(step))
         np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
                                    atol=2e-4)
+
+    def test_mimi_int8_kv_close_to_f32(self):
+        """cfg.mimi.transformer.quantize_kv int8 ring cache tracks the
+        full-precision decode within int8 quantization noise."""
+        import dataclasses
+        cfg_q = dataclasses.replace(
+            CFG, mimi=dataclasses.replace(
+                CFG.mimi, transformer=dataclasses.replace(
+                    CFG.mimi.transformer, quantize_kv=True)))
+        pcm0, v0 = self._decode(CFG)
+        pcmq, vq = self._decode(cfg_q)
+        np.testing.assert_array_equal(v0, vq)
+        denom = np.abs(pcm0).max() + 1e-9
+        assert np.abs(pcmq - pcm0).max() / denom < 0.15, \
+            np.abs(pcmq - pcm0).max() / denom
+
+    def test_mimi_int8_kv_pallas_interpret_matches_xla(self):
+        """The fused ring kernel's int8 branch == the XLA dequant fallback
+        through a ring wrap (capacity 64, 6 frames of 16)."""
+        import dataclasses
+        from pocket_tts_tpu.models import mimi_transformer
+        base = dataclasses.replace(CFG.mimi.transformer, capacity=64,
+                                   quantize_kv=True)
+        cfg_x = dataclasses.replace(base, use_pallas_attn=False)
+        cfg_p = dataclasses.replace(base, use_pallas_attn=True)
+        p = PARAMS["mimi"]["decoder_transformer"]
+        rng = np.random.RandomState(5)
+        s_x = mimi_transformer.init_state(cfg_x)
+        s_p = mimi_transformer.init_state(cfg_p)
+        for f in range(6):
+            x = jnp.asarray(
+                rng.randn(16, base.d_model).astype(np.float32) * 0.3)
+            s_x, y_x = mimi_transformer.forward(p, cfg_x, s_x, x)
+            s_p, y_p = mimi_transformer.forward(p, cfg_p, s_p, x)
+            np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                                       atol=2e-4, err_msg=f"frame {f}")
+        for a, b in zip(s_p.k + s_p.v, s_x.k + s_x.v):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(s_p.k_scale + s_p.v_scale,
+                        s_x.k_scale + s_x.v_scale):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7)

@@ -158,6 +158,50 @@ class TestShardMapPallas:
         np.testing.assert_allclose(np.asarray(pcm_sh), np.asarray(pcm_ref),
                                    atol=1e-4)
 
+    def test_sharded_pallas_quant_kv_step_matches_unsharded(self):
+        """int8 KV on BOTH transformers under shard_map (the serving mesh
+        config): the quant kernels' scale rows ride the "data" shards and
+        replicate over "model" head-slices."""
+        import dataclasses
+        from pocket_tts_tpu.runtime.batched import mesh_cfg
+
+        def quantize(cfg):
+            return dataclasses.replace(
+                cfg,
+                backbone=dataclasses.replace(cfg.backbone, quantize_kv=True),
+                mimi=dataclasses.replace(
+                    cfg.mimi, transformer=dataclasses.replace(
+                        cfg.mimi.transformer, quantize_kv=True,
+                        capacity=64)))  # int8 window needs cap % 32 == 0
+
+        b = 4
+        cfg_ref = quantize(CFG)
+        prompts = jnp.asarray(np.stack(
+            [random_voice_prompt(cfg_ref, 16, seed=i) for i in range(b)]))
+        vstates = stack_states([backbone.init_state(cfg_ref.backbone)
+                                for _ in range(b)])
+        vstates = batched_prime_voice(PARAMS, cfg_ref, vstates, prompts,
+                                      jnp.full((b,), 16, jnp.int32))
+        tokens = jnp.tile(jnp.arange(12, dtype=jnp.int32)[None], (b, 1))
+        states = batched_sentence_prefill(
+            PARAMS, cfg_ref, vstates, mimi.init_state(cfg_ref.mimi),
+            tokens, jnp.full((b,), 12, jnp.int32))
+        rngs = jnp.stack([jax.random.PRNGKey(i) for i in range(b)])
+        args = (jnp.full((b,), 0.7, jnp.float32),
+                jnp.full((b,), 3, jnp.int32), jnp.full((b,), 50, jnp.int32))
+        _, pcm_ref, _ = batched_frame_step(PARAMS, cfg_ref, states, rngs,
+                                           *args)
+
+        mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+        cfg_m = mesh_cfg(quantize(self._pallas_cfg()), mesh)
+        assert cfg_m.backbone.mesh is mesh
+        assert cfg_m.mimi.transformer.mesh is mesh
+        p_sh = shard_params(PARAMS, mesh)
+        st_sh = shard_batched_state(states, mesh)
+        _, pcm_sh, _ = batched_frame_step(p_sh, cfg_m, st_sh, rngs, *args)
+        np.testing.assert_allclose(np.asarray(pcm_sh), np.asarray(pcm_ref),
+                                   atol=1e-4)
+
     def test_servers_build_cfg_through_mesh_cfg(self):
         """A server given a mesh must never hand raw engine.cfg to decode
         programs (the r2 latent multi-chip crash): its cfg must either
