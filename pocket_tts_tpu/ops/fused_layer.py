@@ -193,18 +193,55 @@ def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ls2_ref,
         w2p = w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...]
         b32 = w2p.astype(f)
         hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
-        w2hi = hi32.astype(ln.dtype)
-        # rawdot only for single-row dispatches — see INT4_SCHEME's note
+        # raw* only for single-row dispatches — see INT4_SCHEME's note
         # (no batch win; Mosaic compile crash at T=64 rows)
-        if INT4_SCHEME == "rawdot" and ln.shape[0] == 1:
+        if INT4_SCHEME == "rawf32m" and ln.shape[0] == 1:
+            # merged f32 dots: compute BOTH gelu halves first, then
+            # h_a.lo + h_b.hi == h_a.b32 + (h_b - 16 h_a).hi32
+            # - 8*rowsum(h_a) — two MXU passes over the packed W2 block,
+            # zero per-byte casts (the MXU's DEFAULT-precision input
+            # truncation rounds the f32 operands in the datapath; exact
+            # for the integer byte/hi values, bf16-rounding-level for the
+            # combined activation)
+            hs = []
+            for w1_ref, s1_ref, b1_ref in (
+                    (w1a_ref, s1a_ref, b1a_ref),
+                    (w1b_ref, s1b_ref, b1b_ref)):
+                h = _deq_dot(ln, w1_ref, s1_ref, bits)
+                b1 = b1_ref[0] if b1_ref.ndim == 3 else b1_ref[...]
+                hs.append(_gelu_f32(h + b1.astype(f), approx))
+            ha, hb2 = hs
+            acc = jax.lax.dot_general(ha, b32, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=f)
+            acc += jax.lax.dot_general(hb2 - 16.0 * ha, hi32,
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=f)
+            acc -= 8.0 * jnp.sum(ha, axis=-1, keepdims=True)
+            acc_s[...] += acc
+            lo_half = hi_half = None
+        elif INT4_SCHEME == "rawf32" and ln.shape[0] == 1:
+            # f32 operands: the MXU's DEFAULT-precision input truncation
+            # replaces the explicit bf16 casts (lossless at int4/byte
+            # magnitudes — see quant_matmul). The h halves are computed
+            # sequentially here, so this variant stays 3 dots.
+            lo_half = ("rawdot", b32, hi32)
+            hi_half = ("plain", hi32, None)
+        elif INT4_SCHEME == "rawdot" and ln.shape[0] == 1:
+            w2hi = hi32.astype(ln.dtype)
             lo_half = ("rawdot", b32.astype(ln.dtype), w2hi)
+            hi_half = ("plain", w2hi, None)
         elif INT4_SCHEME == "lo8":
+            w2hi = hi32.astype(ln.dtype)
             lo_half = ("bias8", (b32 - 16.0 * hi32).astype(ln.dtype), None)
+            hi_half = ("plain", w2hi, None)
         else:
+            w2hi = hi32.astype(ln.dtype)
             lo_half = ("plain",
                        (b32 - 16.0 * hi32 - 8.0).astype(ln.dtype), None)
-        halves = ((w1a_ref, s1a_ref, b1a_ref, lo_half),
-                  (w1b_ref, s1b_ref, b1b_ref, ("plain", w2hi, None)))
+            hi_half = ("plain", w2hi, None)
+        halves = (() if lo_half is None else
+                  ((w1a_ref, s1a_ref, b1a_ref, lo_half),
+                   (w1b_ref, s1b_ref, b1b_ref, hi_half)))
     else:
         w2 = w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...]
         halves = ((w1a_ref, s1a_ref, b1a_ref,
@@ -213,7 +250,9 @@ def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ls2_ref,
         h = _deq_dot(ln, w1_ref, s1_ref, bits)
         b1 = b1_ref[0] if b1_ref.ndim == 3 else b1_ref[...]
         h = _gelu_f32(h + b1.astype(jnp.float32), approx)
-        hb = h.astype(ln.dtype)
+        # f32 W2 operands (rawf32): feed the f32 h straight to the dot —
+        # the MXU truncates both sides to bf16 in the datapath
+        hb = h if m1.dtype == f else h.astype(ln.dtype)
         acc = jax.lax.dot_general(hb, m1, (((1,), (0,)), ((), ())),
                                   preferred_element_type=f)
         if mode == "rawdot":

@@ -168,19 +168,36 @@ def unpack_int4(q4, dtype=jnp.float32):
 #           algebraically: x_lo.lo = x_lo.b - 16*(x_lo.hi) - 8*rowsum(x_lo)
 #           -> only cast+floor+2 casts per byte (~5 VPU ops), trading one
 #           extra MXU half-pass for the fma+sub elementwise stream
+#   rawf32: rawdot WITHOUT the f32->bf16 operand casts — dot the f32
+#           byte/hi tiles directly and let the MXU's DEFAULT-precision
+#           input truncation do the rounding in the matmul datapath
+#           (lossless here: raw bytes and hi nibbles are integers
+#           |x| <= 128, bf16-exact) -> cast+mul+floor = 3 VPU ops/byte
+#   rawf32m: rawf32 with the hi dots MERGED: x_lo.lo + x_hi.hi =
+#           x_lo.b + (x_hi - 16*x_lo).hi - 8*rowsum(x_lo); the combine is
+#           per-ACTIVATION f32 math (exact: <= 13 significant bits), so a
+#           whole MXU pass over the weight block disappears. The combined
+#           operand truncates to bf16 INSIDE the dot, so results differ
+#           from the baseline at bf16-dot rounding level (not bit-equal
+#           in interpret mode either — different summation order).
 #   lo8:    materialize UNBIASED lo8 = b - 16*hi (~6 ops), two dots,
 #           correct -8*rowsum(x_lo) on the accumulator
-# All bit-match the baseline in interpret mode (the corrections are exact
-# in f32 at int4 magnitudes).
+# All but rawf32m bit-match the baseline in interpret mode (the
+# corrections are exact in f32 at int4 magnitudes).
 #
 # Measured on v5e (tools/micro_int4.py, real B=1 int4 decode loop,
-# device-trace): rawdot 6263 f/s vs unpack 5799 vs lo8 5773 — the extra
-# MXU half-pass is free next to the saved VPU elementwise stream, so
-# rawdot is the default. rawdot applies ONLY to single-row dispatches
-# (_int4_dots gates on T==1): at batch the unpack amortizes over rows so
-# rawdot gains nothing (40.6k vs 40.7k f/s at B=32), and Mosaic's
-# remote compile crashes outright on the rawdot kernel at T=64 rows.
-INT4_SCHEME = "rawdot"
+# device-trace): rawf32m 6847 f/s vs rawdot 6232 vs rawf32 5961 vs
+# unpack 5799 vs lo8 5773. Two findings: (1) merging the hi dots removes
+# a whole MXU pass over every weight block and is the biggest single win
+# (+10% over rawdot with the fused-layer W2 merged too); (2) explicit
+# bf16 operand casts are NOT free to skip in isolation — rawf32 (3 f32
+# dots) LOSES to rawdot (3 bf16 dots + casts), i.e. an f32 MXU pass
+# costs more than a bf16 pass plus the cast stream; only the merged
+# 2-pass form comes out ahead. raw* schemes apply ONLY to single-row
+# dispatches (_int4_dots gates on T==1): at batch the unpack amortizes
+# over rows so they gain nothing (40.6k vs 40.7k f/s at B=32), and
+# Mosaic's remote compile crashes outright on these kernels at T=64 rows.
+INT4_SCHEME = "rawf32m"
 
 
 def _int4_dots(x_lo, x_hi, w4, scheme=None):
@@ -189,10 +206,20 @@ def _int4_dots(x_lo, x_hi, w4, scheme=None):
     f = jnp.float32
     dt = x_lo.dtype
     scheme = scheme or INT4_SCHEME
-    if scheme == "rawdot" and x_lo.shape[0] != 1:
+    if scheme in ("rawdot", "rawf32", "rawf32m") and x_lo.shape[0] != 1:
         scheme = "unpack"
     b32 = w4.astype(f)
     hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
+    if scheme in ("rawf32", "rawf32m"):
+        xl = x_lo.astype(f)
+        xh = x_hi.astype(f)
+        acc = jnp.dot(xl, b32, preferred_element_type=f)
+        if scheme == "rawf32m":
+            acc += jnp.dot(xh - 16.0 * xl, hi32, preferred_element_type=f)
+        else:
+            acc -= 16.0 * jnp.dot(xl, hi32, preferred_element_type=f)
+            acc += jnp.dot(xh, hi32, preferred_element_type=f)
+        return acc - 8.0 * jnp.sum(xl, axis=-1, keepdims=True)
     hi = hi32.astype(dt)
     if scheme == "rawdot":
         acc = jnp.dot(x_lo, b32.astype(dt), preferred_element_type=f)

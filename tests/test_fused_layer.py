@@ -103,7 +103,7 @@ class TestFusedLayer:
         attn = jnp.asarray(rng.randn(1, dm).astype(np.float32) * 0.3)
         p = _layer_params(4)
         outs = {}
-        for scheme in ("unpack", "rawdot", "lo8"):
+        for scheme in ("unpack", "rawdot", "rawf32", "rawf32m", "lo8"):
             old = qm.INT4_SCHEME
             qm.INT4_SCHEME = scheme
             # the kernel factories cache on static args only — clear so the
@@ -120,10 +120,15 @@ class TestFusedLayer:
                 qm.INT4_SCHEME = old
                 fused_layer._make_pre.cache_clear()
                 fused_layer._make_post.cache_clear()
-        for scheme in ("rawdot", "lo8"):
+        for scheme in ("rawdot", "rawf32", "lo8"):
             for got, want in zip(outs[scheme], outs["unpack"]):
                 np.testing.assert_allclose(got, want, atol=5e-4,
                                            err_msg=scheme)
+        # rawf32m's merged hi dot changes the summation order — equal to
+        # dot-rounding level only
+        for got, want in zip(outs["rawf32m"], outs["unpack"]):
+            np.testing.assert_allclose(got, want, atol=2e-3,
+                                       err_msg="rawf32m")
 
     def test_batched_rows_collapse(self):
         """vmap over streams == per-stream results (rows are independent,

@@ -172,23 +172,35 @@ class TestInt4AndKernels:
         packed = jnp.asarray(qm.pack_int4(qi))
         s = jnp.asarray(rng.rand(N).astype(np.float32) * 0.01)
         outs = {}
-        for scheme in ("unpack", "rawdot", "lo8"):
+        # the raw* schemes gate on single-row dispatches — exercise them
+        # through a T=1 x as well as the multi-row fallback path
+        x1 = x[:1]
+        for scheme in ("unpack", "rawdot", "rawf32", "rawf32m", "lo8"):
             old = qm.INT4_SCHEME
             qm.INT4_SCHEME = scheme
             try:
                 outs[scheme] = np.asarray(qm.int4_matmul_pallas(
                     x, packed, s, interpret=True), np.float32)
+                outs[scheme, 1] = np.asarray(qm.int4_matmul_pallas(
+                    x1, packed, s, interpret=True), np.float32)
             finally:
                 qm.INT4_SCHEME = old
         ref = ((np.asarray(x, np.float32) @ qi.astype(np.float32))
                * np.asarray(s))
         for scheme, y in outs.items():
-            err = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
+            y = y if y.shape == ref.shape else y  # T=1 entries checked below
+            err = (np.abs(y - ref[: y.shape[0]]).max()
+                   / (np.abs(ref).max() + 1e-9))
             assert err < 5e-3, (scheme, err)  # bf16 input rounding only
-        np.testing.assert_allclose(outs["rawdot"], outs["unpack"],
-                                   rtol=0, atol=2e-5)
-        np.testing.assert_allclose(outs["lo8"], outs["unpack"],
-                                   rtol=0, atol=2e-5)
+        for scheme in ("rawdot", "rawf32", "lo8"):
+            np.testing.assert_allclose(outs[scheme], outs["unpack"],
+                                       rtol=0, atol=2e-5)
+            np.testing.assert_allclose(outs[scheme, 1], outs["unpack", 1],
+                                       rtol=0, atol=2e-5)
+        # rawf32m merges the hi dots ((x_hi - 16 x_lo) . hi): a different
+        # summation order, equal only to dot-rounding level
+        np.testing.assert_allclose(outs["rawf32m", 1], outs["unpack", 1],
+                                   rtol=0, atol=5e-4)
 
     def test_slice_layer_params_keeps_quant_stacked(self):
         from pocket_tts_tpu.ops.basic import slice_layer_params

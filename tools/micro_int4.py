@@ -67,7 +67,7 @@ def b1_ms():
 
 
 results = {}
-for scheme in ("unpack", "rawdot", "lo8"):
+for scheme in ("unpack", "rawdot", "rawf32", "rawf32m", "lo8"):
     qm.INT4_SCHEME = scheme
     # new scheme -> new jaxpr; clear the qmm lru cache so tracing re-reads
     # INT4_SCHEME (fused_layer reads it at trace time too)
