@@ -48,6 +48,28 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
+def _pick_group(bsz: int, bytes_per_stream: int, itemsize: int):
+    """Streams per grid step: amortize the fixed per-step cost (~0.3-0.8 us
+    of sequencing), bounded by VMEM for the double-buffered k+v blocks.
+
+    int8 caches (serving mode) are small enough for group 8 once the
+    kernel's scoped-VMEM limit is raised past the 16 MB default (v5e has
+    128 MB of VMEM; the raise is per-kernel and the serving path's weights
+    stream through Mosaic kernels, not XLA's alternate-memory prefetcher,
+    so nothing competes for the headroom). >=2-byte caches keep the
+    conservative 8 MB budget (group 4 tops) — THEIR programs rely on XLA
+    prefetching the bf16 weight stream. Returns (group, vmem_limit|None).
+    """
+    budget = 15 * 1024 * 1024 if itemsize == 1 else 8 * 1024 * 1024
+    for cand in (8, 4, 2):
+        if bsz % cand == 0 and cand * bytes_per_stream <= budget:
+            # headroom for scratch/qm/pos/out on top of the k+v buffers
+            lim = (24 * 1024 * 1024
+                   if cand * bytes_per_stream > 7 * 1024 * 1024 else None)
+            return cand, lim
+    return 1, None
+
+
 def _decode_attn_kernel(end_ref, qm_ref, pos_ref, *rest, num_heads,
                         head_dim, nb_total, quant, group):
     """One (stream-group, cache-block) grid step of batched flash decode.
@@ -160,11 +182,8 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
     # itemsize (f32 caches are 2x bf16; the old 2-byte assumption
     # overfilled the 16 MB scoped limit at group 4)
     bytes_per_stream = 2 * 2 * block_size * h * d * k_cache.dtype.itemsize
-    group = 1
-    for cand in (4, 2):
-        if bsz % cand == 0 and cand * bytes_per_stream <= 8 * 1024 * 1024:
-            group = cand
-            break
+    group, vmem_lim = _pick_group(bsz, bytes_per_stream,
+                                  k_cache.dtype.itemsize)
     kernel = functools.partial(
         _decode_attn_kernel, num_heads=h, head_dim=d, nb_total=nb,
         quant=quant, group=group)
@@ -220,6 +239,8 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, 1, h * d), q.dtype),
         interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=vmem_lim)
+                         if vmem_lim else None),
         name="flash_decode",
     )(jnp.asarray(end, jnp.int32).reshape(1), *operands)
     return out.reshape(bsz, h, d)
@@ -552,11 +573,8 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
     assert block_size % win == 0, (block_size, win)
     # sized by the actual cache itemsize — see _decode_attention_batched
     bytes_per_stream = 2 * 2 * block_size * h * d * k_cache.dtype.itemsize
-    group = 1
-    for cand in (4, 2):
-        if bsz % cand == 0 and cand * bytes_per_stream <= 8 * 1024 * 1024:
-            group = cand
-            break
+    group, vmem_lim = _pick_group(bsz, bytes_per_stream,
+                                  k_cache.dtype.itemsize)
     kernel = functools.partial(
         _insert_attn_kernel, num_heads=h, head_dim=d, nb_total=nb,
         quant=quant, group=group, win=win)
@@ -637,6 +655,8 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
         out_shape=out_shape,
         input_output_aliases=aliases,
         interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=vmem_lim)
+                         if vmem_lim else None),
         name="flash_decode_insert",
     )(*scalars, *operands)
     out, kc, vc = outs[0], outs[1], outs[2]
