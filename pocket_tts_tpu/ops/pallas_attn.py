@@ -61,11 +61,15 @@ def _pick_group(bsz: int, bytes_per_stream: int, itemsize: int):
     prefetching the bf16 weight stream. Returns (group, vmem_limit|None).
     """
     budget = 15 * 1024 * 1024 if itemsize == 1 else 8 * 1024 * 1024
-    for cand in (8, 4, 2):
+    # group 8 (and the 24 MB VMEM raise) are int8-only: >=2-byte caches
+    # must keep the old group-4 ceiling so their programs leave alternate
+    # memory to XLA's bf16 weight prefetcher.
+    for cand in ((8, 4, 2) if itemsize == 1 else (4, 2)):
         if bsz % cand == 0 and cand * bytes_per_stream <= budget:
             # headroom for scratch/qm/pos/out on top of the k+v buffers
             lim = (24 * 1024 * 1024
-                   if cand * bytes_per_stream > 7 * 1024 * 1024 else None)
+                   if itemsize == 1
+                   and cand * bytes_per_stream > 7 * 1024 * 1024 else None)
             return cand, lim
     return 1, None
 

@@ -70,11 +70,11 @@ class TestDecodeAttention:
             np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
                                        atol=1e-5, err_msg=f"stream {i}")
 
-    @pytest.mark.parametrize("b", [1, 4])
+    @pytest.mark.parametrize("b", [1, 4, 8])
     def test_int8_kv_grouped(self, b):
         """int8-cache branch of the kernel, including the multi-stream
-        group path (b=4): dequant by per-row scales == attending the
-        dequantized cache."""
+        group paths (b=4 and the int8-only group 8): dequant by per-row
+        scales == attending the dequantized cache."""
         rng = np.random.RandomState(33)
         cases = []
         for i in range(b):
@@ -237,10 +237,11 @@ class TestDecodeInsertAttention:
             np.testing.assert_array_equal(np.asarray(got[2][i]),
                                           np.asarray(v2))
 
-    @pytest.mark.parametrize("b", [1, 4])
+    @pytest.mark.parametrize("b", [1, 4, 8])
     def test_int8_kv(self, b):
-        """int8 caches: pre-quantized new rows + scale-row updates must
-        land byte-identically and attend like the dequantized DUS path."""
+        """int8 caches (incl. the int8-only group-8 path at b=8):
+        pre-quantized new rows + scale-row updates must land
+        byte-identically and attend like the dequantized DUS path."""
         from pocket_tts_tpu.ops.pallas_attn import decode_insert_attention
         end = 90
         cases = []
@@ -453,9 +454,9 @@ class TestMimiRingKernel:
             np.testing.assert_allclose(np.asarray(vs_p), np.asarray(vs_x),
                                        atol=0)
 
-    @pytest.mark.parametrize("b", [3, 4])
+    @pytest.mark.parametrize("b", [3, 4, 8])
     def test_quant_vmap_with_starts(self, b):
-        """Batched int8-KV (incl. the group path at b=4) with per-stream
+        """Batched int8-KV (incl. the group paths at b=4/8) with per-stream
         starts; t=16 exercises the sh=16 half of the 32-row window."""
         from pocket_tts_tpu.models.backbone import quantize_rows
         from pocket_tts_tpu.ops.pallas_mimi import ring_insert_attention
@@ -463,7 +464,7 @@ class TestMimiRingKernel:
         hd = h * d
         rng = np.random.RandomState(17)
         off = jnp.int32(48)  # slot0 = 48 -> window [32, 64), sh = 16
-        starts = jnp.asarray([0, 16, 32, 16][:b], jnp.int32)
+        starts = jnp.asarray([0, 16, 32, 16, 8, 0, 32, 24][:b], jnp.int32)
         q = jnp.asarray(rng.randn(b, t, h, d).astype(np.float32))
         k = jnp.asarray(rng.randn(b, t, hd).astype(np.float32))
         v = jnp.asarray(rng.randn(b, t, hd).astype(np.float32))

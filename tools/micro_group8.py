@@ -2,8 +2,8 @@
 round-3 group-8 picker (int8 caches, raised scoped-VMEM limit) vs the old
 group-4 8MB-budget picker, on the B=32 serving cohort chunk (the config
 both the cohort bench and the continuous server run). Also checks the
-first audio sample matches between the two groupings (same math, same
-flash accumulation order within a stream — must be bit-identical)."""
+full valid-masked audio matches between the two groupings (same math,
+same flash accumulation order within a stream — must be bit-identical)."""
 import dataclasses
 import json
 import sys
@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from pocket_tts_tpu.config import DEFAULT_CONFIG
 from pocket_tts_tpu.io.params import random_params, random_voice_prompt
 from pocket_tts_tpu.io.quant import quantize_params
-from pocket_tts_tpu.models import backbone, mimi, tts
+from pocket_tts_tpu.models import backbone, mimi
 from pocket_tts_tpu.ops import pallas_attn
 from pocket_tts_tpu.text.preprocess import count_words, prepare_text_prompt
 from pocket_tts_tpu.text.tokenizer import MockTokenizer
@@ -39,6 +39,11 @@ cfg_f = dataclasses.replace(cfg0, backbone=dataclasses.replace(
 
 def fetch(out):
     return float(np.asarray(out[0]).ravel()[0])
+
+
+def full_pcm(out):
+    pcm, valid = np.asarray(out[0]), np.asarray(out[1])
+    return pcm * valid[..., None].astype(pcm.dtype)
 
 
 def b32():
@@ -69,12 +74,12 @@ def b32():
 
     out = run()
     frames = int(np.asarray(out[1]).sum() // B)
-    first = fetch(out)
+    pcm = full_pcm(out)
     best = float("inf")
     for _ in range(3):
         dms, _ = device_ms(run, fetch, match="decode_sentence")
         best = min(best, dms)
-    return frames * B / (best / 1e3), first, frames
+    return frames * B / (best / 1e3), pcm, frames
 
 
 def old_pick(bsz, bytes_per_stream, itemsize):
@@ -85,21 +90,25 @@ def old_pick(bsz, bytes_per_stream, itemsize):
 
 
 res = {}
+pcms = {}
 new_pick = pallas_attn._pick_group
 for name, pick in (("group8", new_pick), ("group4", old_pick)):
     pallas_attn._pick_group = pick
     jax.clear_caches()
     try:
-        fps, audio0, frames = b32()
-        res[name] = {"b32_srv_fps": round(fps, 1), "audio0": audio0,
-                     "frames": frames}
+        fps, pcm, frames = b32()
+        res[name] = {"b32_srv_fps": round(fps, 1), "frames": frames}
+        pcms[name] = pcm
     except Exception as e:
         res[name] = {"error": f"{type(e).__name__}: {str(e)[:500]}"}
     print(name, res[name], flush=True)
 pallas_attn._pick_group = new_pick
 
-a = res.get("group8", {}).get("audio0")
-b = res.get("group4", {}).get("audio0")
+a, b = pcms.get("group8"), pcms.get("group4")
 if a is not None and b is not None:
-    print(f"audio diff: {abs(a - b):.2e}", flush=True)
+    same = a.shape == b.shape and bool(np.array_equal(a, b))
+    res["audio_bit_identical"] = same
+    if not same:
+        diff = float(np.abs(a - b).max()) if a.shape == b.shape else None
+        print(f"AUDIO MISMATCH: max abs diff {diff}", flush=True)
 print(json.dumps(res))
