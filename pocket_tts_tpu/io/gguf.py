@@ -32,16 +32,24 @@ DEFAULT_ALIGNMENT = 32
 
 # ggml tensor types (ggml.h enum values)
 F32, F16, Q4_0, Q8_0 = 0, 1, 2, 8
+Q4_K, Q8_K = 12, 15
 I8, I16, I32, I64, F64, BF16 = 24, 25, 26, 27, 28, 30
 
 # metadata value types
 (_U8, _I8V, _U16, _I16V, _U32, _I32V, _F32V, _BOOL, _STR, _ARR,
  _U64, _I64V, _F64V) = range(13)
 
-_QBLOCK = 32  # elements per Q4_0/Q8_0 block
+_QBLOCK = 32    # elements per Q4_0/Q8_0 block
+_QBLOCK_K = 256  # elements per K-quant super-block
 _TYPE_SIZES = {F32: 4, F16: 2, BF16: 2, I8: 1, I16: 2, I32: 4, I64: 8,
                F64: 8}
-_BLOCK_BYTES = {Q8_0: 2 + _QBLOCK, Q4_0: 2 + _QBLOCK // 2}
+_BLOCK_BYTES = {Q8_0: 2 + _QBLOCK, Q4_0: 2 + _QBLOCK // 2,
+                # Q4_K: f16 d + f16 dmin + 12B 6-bit scales/mins + 128B qs
+                Q4_K: 2 + 2 + 12 + _QBLOCK_K // 2,
+                # Q8_K: f32 d + 256 int8 qs + 16 int16 group sums
+                Q8_K: 4 + _QBLOCK_K + 2 * (_QBLOCK_K // 16)}
+_BLOCK_ELEMS = {Q8_0: _QBLOCK, Q4_0: _QBLOCK, Q4_K: _QBLOCK_K,
+                Q8_K: _QBLOCK_K}
 
 
 def shorten_name(name: str) -> str:
@@ -60,15 +68,29 @@ def shorten_name(name: str) -> str:
 # quantized block codecs
 # ---------------------------------------------------------------------------
 
-def _rows_for_quant(arr: np.ndarray) -> Optional[np.ndarray]:
-    """2-D float view (rows, cols%32==0) if `arr` is quantizable else None.
-    Mirrors the reference's alignment fallback (loader.h:162-173)."""
-    if arr.ndim < 1 or arr.shape[-1] % _QBLOCK != 0:
+def _rows_for_quant(arr: np.ndarray,
+                    block: int = _QBLOCK) -> Optional[np.ndarray]:
+    """2-D float view (rows, cols % block == 0) if `arr` is quantizable
+    else None. Mirrors the reference's alignment fallback
+    (loader.h:162-173)."""
+    if arr.ndim < 1 or arr.shape[-1] % block != 0:
         return None
     if arr.dtype.kind != "f" and arr.dtype.name != "bfloat16":
         return None
     return np.ascontiguousarray(arr, dtype=np.float32).reshape(
         -1, arr.shape[-1])
+
+
+def _effective_qtype(qtype: Optional[int],
+                     arr: np.ndarray) -> Optional[int]:
+    """The reference's divisibility fallback chain (loader.h:162-173):
+    Q4_K needs ne[0] % 256 else Q4_0; Q4_0 needs % 32 else the source
+    dtype — and the same for Q8_K -> Q8_0 -> source."""
+    if qtype in (Q4_K, Q8_K) and _rows_for_quant(arr, _QBLOCK_K) is None:
+        qtype = Q4_0 if qtype == Q4_K else Q8_0
+    if qtype in (Q4_0, Q8_0) and _rows_for_quant(arr, _QBLOCK) is None:
+        return None
+    return qtype
 
 
 def quantize_q8_0(arr: np.ndarray) -> bytes:
@@ -124,10 +146,119 @@ def dequantize_q4_0(raw: bytes, nelements: int) -> np.ndarray:
     return (q * d[:, None]).reshape(-1)[:nelements]
 
 
+def quantize_q8_k(arr: np.ndarray) -> bytes:
+    """ggml Q8_K: per-256 super-block f32 scale + 256 int8 + 16 int16
+    group-of-16 sums. Scale convention is ggml's signed-extreme mapping
+    (d = max_signed / -128, so the extreme element lands on -128)."""
+    rows = _rows_for_quant(arr, _QBLOCK_K)
+    assert rows is not None
+    blocks = rows.reshape(-1, _QBLOCK_K)
+    nb = blocks.shape[0]
+    idx = np.abs(blocks).argmax(axis=1)
+    mx = blocks[np.arange(nb), idx]
+    nz = mx != 0
+    iscale = np.where(nz, -128.0 / np.where(nz, mx, 1.0), 0.0)
+    q = np.clip(np.rint(blocks * iscale[:, None]), -128, 127).astype(np.int8)
+    d = np.where(nz, 1.0 / np.where(nz, iscale, 1.0), 0.0).astype(np.float32)
+    bsums = q.astype(np.int32).reshape(nb, 16, 16).sum(axis=2).astype(
+        np.int16)
+    out = np.zeros((nb, _BLOCK_BYTES[Q8_K]), np.uint8)
+    out[:, :4] = d.view(np.uint8).reshape(nb, 4)
+    out[:, 4:4 + _QBLOCK_K] = q.view(np.uint8)
+    out[:, 4 + _QBLOCK_K:] = bsums.view(np.uint8).reshape(nb, 32)
+    return out.tobytes()
+
+
+def dequantize_q8_k(raw: bytes, nelements: int) -> np.ndarray:
+    blk = np.frombuffer(raw, np.uint8).reshape(-1, _BLOCK_BYTES[Q8_K])
+    d = blk[:, :4].copy().view(np.float32).reshape(-1)
+    q = blk[:, 4:4 + _QBLOCK_K].copy().view(np.int8).astype(np.float32)
+    return (q * d[:, None]).reshape(-1)[:nelements]
+
+
+def _pack_scale_min_k4(ls: np.ndarray, lm: np.ndarray) -> np.ndarray:
+    """8x 6-bit scales + 8x 6-bit mins -> 12 bytes per super-block,
+    ggml's K_SCALE_SIZE layout (inverse of get_scale_min_k4): bytes 0-3
+    carry scales 0-3 (low 6) + scale 4-7 top bits; 4-7 carry mins 0-3 +
+    min 4-7 top bits; 8-11 carry the low nibbles of scales/mins 4-7."""
+    nb = ls.shape[0]
+    out = np.zeros((nb, 12), np.uint8)
+    out[:, 0:4] = (ls[:, :4] & 63) | ((ls[:, 4:] >> 4) << 6)
+    out[:, 4:8] = (lm[:, :4] & 63) | ((lm[:, 4:] >> 4) << 6)
+    out[:, 8:12] = (ls[:, 4:] & 0xF) | ((lm[:, 4:] & 0xF) << 4)
+    return out
+
+
+def _unpack_scale_min_k4(s12: np.ndarray):
+    """12 scale bytes -> (8 scales, 8 mins) per super-block, uint8."""
+    lo_s = s12[:, 0:4] & 63
+    lo_m = s12[:, 4:8] & 63
+    hi_s = (s12[:, 8:12] & 0xF) | ((s12[:, 0:4] >> 6) << 4)
+    hi_m = (s12[:, 8:12] >> 4) | ((s12[:, 4:8] >> 6) << 4)
+    return (np.concatenate([lo_s, hi_s], axis=1),
+            np.concatenate([lo_m, hi_m], axis=1))
+
+
+def quantize_q4_k(arr: np.ndarray) -> bytes:
+    """ggml Q4_K: 256-element super-blocks of 8x 32-element sub-blocks;
+    per-sub 6-bit scale/min quantized against f16 super scales (d, dmin),
+    4-bit offsets with value = d*sc*q - dmin*m. Direct min/max encoder
+    (ggml's make_qkx2_quants adds an iterative refinement; the wire format
+    is identical and our error stays within one quantization step)."""
+    rows = _rows_for_quant(arr, _QBLOCK_K)
+    assert rows is not None
+    sub = rows.reshape(-1, 8, _QBLOCK)
+    nb = sub.shape[0]
+    vmax = sub.max(axis=2)
+    vmin = np.minimum(sub.min(axis=2), 0.0)   # mins are stored >= 0
+    sub_scale = np.maximum(vmax - vmin, 0.0) / 15.0
+    sub_min = -vmin
+    # quantize the per-sub scales/mins against the STORED f16 supers so
+    # encode/decode use identical factors
+    d = (sub_scale.max(axis=1) / 63.0).astype(np.float16)
+    dmin = (sub_min.max(axis=1) / 63.0).astype(np.float16)
+    df = d.astype(np.float32)
+    dmf = dmin.astype(np.float32)
+    inv_d = np.where(df > 0, 1.0 / np.where(df > 0, df, 1.0), 0.0)
+    inv_m = np.where(dmf > 0, 1.0 / np.where(dmf > 0, dmf, 1.0), 0.0)
+    ls = np.clip(np.rint(sub_scale * inv_d[:, None]), 0, 63).astype(np.uint8)
+    lm = np.clip(np.rint(sub_min * inv_m[:, None]), 0, 63).astype(np.uint8)
+    d1 = df[:, None] * ls
+    m1 = dmf[:, None] * lm
+    inv1 = np.where(d1 > 0, 1.0 / np.where(d1 > 0, d1, 1.0), 0.0)
+    q = np.clip(np.rint((sub + m1[:, :, None]) * inv1[:, :, None]),
+                0, 15).astype(np.uint8)
+    # qs: per 64-element chunk c, byte l = sub[2c][l] | sub[2c+1][l] << 4
+    qp = q.reshape(nb, 4, 2, _QBLOCK)
+    qs = (qp[:, :, 0] | (qp[:, :, 1] << 4)).reshape(nb, _QBLOCK_K // 2)
+    out = np.zeros((nb, _BLOCK_BYTES[Q4_K]), np.uint8)
+    out[:, 0:2] = d.view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = dmin.view(np.uint8).reshape(nb, 2)
+    out[:, 4:16] = _pack_scale_min_k4(ls, lm)
+    out[:, 16:] = qs
+    return out.tobytes()
+
+
+def dequantize_q4_k(raw: bytes, nelements: int) -> np.ndarray:
+    blk = np.frombuffer(raw, np.uint8).reshape(-1, _BLOCK_BYTES[Q4_K])
+    nb = blk.shape[0]
+    d = blk[:, 0:2].copy().view(np.float16).astype(np.float32).reshape(-1)
+    dmin = blk[:, 2:4].copy().view(np.float16).astype(np.float32).reshape(-1)
+    sc, mn = _unpack_scale_min_k4(blk[:, 4:16])
+    qs = blk[:, 16:].reshape(nb, 4, _QBLOCK)
+    lo = (qs & 0xF).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    vals = np.stack([lo, hi], axis=2).reshape(nb, 8, _QBLOCK)
+    out = (d[:, None, None] * sc[:, :, None].astype(np.float32) * vals
+           - dmin[:, None, None] * mn[:, :, None].astype(np.float32))
+    return out.reshape(-1)[:nelements]
+
+
 def _tensor_nbytes(ggml_type: int, nelements: int) -> int:
     if ggml_type in _BLOCK_BYTES:
-        assert nelements % _QBLOCK == 0
-        return nelements // _QBLOCK * _BLOCK_BYTES[ggml_type]
+        be = _BLOCK_ELEMS[ggml_type]
+        assert nelements % be == 0
+        return nelements // be * _BLOCK_BYTES[ggml_type]
     return nelements * _TYPE_SIZES[ggml_type]
 
 
@@ -161,6 +292,10 @@ def _ggml_to_np(ggml_type: int, raw: bytes, shape: Tuple[int, ...],
         return dequantize_q8_0(raw, n).reshape(shape)
     if ggml_type == Q4_0:
         return dequantize_q4_0(raw, n).reshape(shape)
+    if ggml_type == Q8_K:
+        return dequantize_q8_k(raw, n).reshape(shape)
+    if ggml_type == Q4_K:
+        return dequantize_q4_k(raw, n).reshape(shape)
     if ggml_type == BF16:
         import ml_dtypes
         return np.frombuffer(raw, np.uint16).reshape(shape).view(
@@ -255,11 +390,13 @@ def write_gguf(path: str, tensors: Dict[str, np.ndarray],
                min_quant_size: int = 64 * 64):
     """Write a GGUF v3 file ggml can read.
 
-    quantize: None | "q8_0" | "q4_0" — applied to float tensors with
-    >= min_quant_size elements whose last dim is a multiple of 32; others
-    keep their dtype (the reference's alignment fallback).
+    quantize: None | "q8_0" | "q4_0" | "q8_k" | "q4_k" — applied to float
+    tensors with >= min_quant_size elements whose last dim divides the
+    block size; others fall down the reference's divisibility chain
+    (K-quant -> 32-block -> source dtype, loader.h:162-173).
     """
-    qtype = {None: None, "q8_0": Q8_0, "q4_0": Q4_0}[quantize]
+    qtype = {None: None, "q8_0": Q8_0, "q4_0": Q4_0,
+             "q8_k": Q8_K, "q4_k": Q4_K}[quantize]
     metadata = dict(metadata or {})
     metadata.setdefault("general.alignment", DEFAULT_ALIGNMENT)
     align = int(metadata["general.alignment"])
@@ -275,11 +412,12 @@ def write_gguf(path: str, tensors: Dict[str, np.ndarray],
     for name, sname in zip(names, short):
         arr = np.asarray(tensors[name])
         gt = None
-        if qtype is not None and arr.size >= min_quant_size \
-                and _rows_for_quant(arr) is not None:
-            gt = qtype
-            payload = (quantize_q8_0(arr) if qtype == Q8_0
-                       else quantize_q4_0(arr))
+        eff = (_effective_qtype(qtype, arr)
+               if qtype is not None and arr.size >= min_quant_size else None)
+        if eff is not None:
+            gt = eff
+            payload = {Q8_0: quantize_q8_0, Q4_0: quantize_q4_0,
+                       Q8_K: quantize_q8_k, Q4_K: quantize_q4_k}[eff](arr)
         else:
             gt, arr2 = _np_to_ggml(arr)
             payload = np.ascontiguousarray(arr2).tobytes()

@@ -96,6 +96,95 @@ def test_q4_0_codec():
         scales.max() + 1e-6
 
 
+def test_q8_k_codec():
+    from pocket_tts_tpu.io.gguf import dequantize_q8_k, quantize_q8_k
+    rng = np.random.RandomState(4)
+    x = (rng.randn(4, 512) * 2).astype(np.float32)
+    x[3, :256] = 0.0  # zero block: d must encode 0, round-trip to zeros
+    raw = quantize_q8_k(x)
+    assert len(raw) == 4 * 512 // 256 * 292
+    back = dequantize_q8_k(raw, x.size).reshape(x.shape)
+    # one int8 step of the per-block scale
+    scales = np.abs(x.reshape(-1, 256)).max(axis=1) / 128.0
+    assert np.abs((back - x).reshape(-1, 256)).max(axis=1).max() <= \
+        scales.max() * 0.75 + 1e-7
+    np.testing.assert_array_equal(back[3, :256], 0.0)
+    # bsums must be the group-of-16 sums of the stored quants (the ggml
+    # dot kernels consume them)
+    blk = np.frombuffer(raw, np.uint8).reshape(-1, 292)
+    q = blk[:, 4:260].copy().view(np.int8).astype(np.int32)
+    bsums = blk[:, 260:].copy().view(np.int16)
+    np.testing.assert_array_equal(q.reshape(-1, 16, 16).sum(axis=2), bsums)
+
+
+def test_q4_k_codec():
+    from pocket_tts_tpu.io.gguf import (_pack_scale_min_k4,
+                                        _unpack_scale_min_k4,
+                                        dequantize_q4_k, quantize_q4_k)
+    rng = np.random.RandomState(5)
+    # offset-heavy data (nonzero means) is where Q4_K's min term earns it
+    x = (rng.randn(8, 256) + 3.0).astype(np.float32)
+    raw = quantize_q4_k(x)
+    assert len(raw) == 8 * 144
+    back = dequantize_q4_k(raw, x.size).reshape(x.shape)
+    # error bounded by ~one 4-bit step of the sub-block range plus the
+    # 6-bit scale/min quantization
+    rng_sub = x.reshape(-1, 32)
+    step = (rng_sub.max(axis=1) - np.minimum(rng_sub.min(axis=1), 0)) / 15.0
+    assert np.abs((back - x).reshape(-1, 32)).max(axis=1).max() <= \
+        1.3 * step.max() + 1e-6
+    # scale/min 6-bit packing is a bijection on [0,63]
+    ls = rng.randint(0, 64, (5, 8)).astype(np.uint8)
+    lm = rng.randint(0, 64, (5, 8)).astype(np.uint8)
+    s, m = _unpack_scale_min_k4(_pack_scale_min_k4(ls, lm))
+    np.testing.assert_array_equal(s, ls)
+    np.testing.assert_array_equal(m, lm)
+
+
+def test_q4_k_beats_q4_0_on_offset_data():
+    """The min term is Q4_K's reason to exist: on all-positive data Q4_0
+    wastes half its grid on negatives."""
+    from pocket_tts_tpu.io.gguf import dequantize_q4_k, quantize_q4_k
+    rng = np.random.RandomState(6)
+    x = (rng.rand(16, 256) * 0.5 + 1.0).astype(np.float32)
+    e_k = np.abs(dequantize_q4_k(quantize_q4_k(x), x.size).reshape(x.shape)
+                 - x).mean()
+    e_0 = np.abs(dequantize_q4_0(quantize_q4_0(x), x.size).reshape(x.shape)
+                 - x).mean()
+    assert e_k < e_0 * 0.6
+
+
+def test_write_k_quant_with_divisibility_fallback(tmp_path):
+    """loader.h:162-173: Q4_K needs cols %256 else Q4_0; %32 else source."""
+    from pocket_tts_tpu.io.gguf import F32, Q4_0, Q4_K, Q8_0, Q8_K
+    rng = np.random.RandomState(7)
+    tensors = {
+        "k": rng.randn(8, 256).astype(np.float32),   # Q4_K
+        "b32": rng.randn(8, 96).astype(np.float32),  # %256 fails -> Q4_0
+        "odd": rng.randn(8, 33).astype(np.float32),  # %32 fails -> F32
+    }
+    path = str(tmp_path / "k.gguf")
+    write_gguf(path, tensors, quantize="q4_k", min_quant_size=1)
+    f = GGUFFile(path)
+    assert f.infos["k"][0] == Q4_K
+    assert f.infos["b32"][0] == Q4_0
+    assert f.infos["odd"][0] == F32
+    for name in ("k", "b32"):
+        got = f.get(name)
+        rel = np.abs(got - tensors[name]).max() / np.abs(tensors[name]).max()
+        assert rel < 0.2, name
+    np.testing.assert_array_equal(f.get("odd"), tensors["odd"])
+    path8 = str(tmp_path / "k8.gguf")
+    write_gguf(path8, tensors, quantize="q8_k", min_quant_size=1)
+    f8 = GGUFFile(path8)
+    assert f8.infos["k"][0] == Q8_K
+    assert f8.infos["b32"][0] == Q8_0
+    assert f8.infos["odd"][0] == F32
+    got = f8.get("k")
+    assert np.abs(got - tensors["k"]).max() <= \
+        np.abs(tensors["k"]).max() / 128.0 + 1e-6
+
+
 def test_write_quantized_with_alignment_fallback(tmp_path):
     rng = np.random.RandomState(3)
     tensors = {
