@@ -36,10 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .quant_matmul import _int4_dots, unpack_int4
 
 # Mosaic's remote compile crashes on these kernels above 64 collapsed
-# rows (bisected on v5e at B=128 cohort serving; B=64 compiles and runs
-# at 48.2k f/s). Past the limit the custom_vmap rules fall back to an
-# XLA composition of the same math — B=128 then runs at ~45.9k f/s,
-# i.e. the batch knee is at 64 where the fused kernels still engage.
+# rows in their MONOLITHIC form (bisected on v5e at B=128 cohort
+# serving; B=64 compiles and runs at 48.2k f/s). Past the limit the
+# custom_vmap rules re-dispatch the same kernels ROW-TILED: an inner
+# grid dimension walks ceil(rows/64) row blocks of <= 64 rows (the
+# known-good per-block shape) while the weight tiles — indexed by the
+# OUTER hidden/output tile dim only — stay resident across row blocks,
+# so the weight stream is still read once. Off-TPU (and un-interpreted)
+# the rules fall back to an XLA composition of the same math.
 MAX_FUSED_ROWS = 64
 
 
@@ -102,11 +106,32 @@ def _pre_kernel(x_ref, ns_ref, nb_ref, w_ref, s_ref, b_ref, o_ref, ln_s,
     o_ref[...] = (acc + b.astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _pre_kernel_tiled(x_ref, ns_ref, nb_ref, w_ref, s_ref, b_ref, o_ref,
+                      ln_s, *, bits, eps):
+    """Row-tiled _pre_kernel: grid (n_tiles, row_blocks), the LN of each
+    <= MAX_FUSED_ROWS row block lands in its own ln_s[r] slab on the
+    block's first visit (j == 0 runs for every r — the row dim is minor)."""
+    j = pl.program_id(0)
+    r = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        ln_s[r] = _ln_f32(x_ref, ns_ref, nb_ref, eps).astype(ln_s.dtype)
+
+    acc = _deq_dot(ln_s[r], w_ref, s_ref, bits)
+    b = b_ref[0] if b_ref.ndim == 3 else b_ref[...]
+    o_ref[...] = (acc + b.astype(jnp.float32)).astype(o_ref.dtype)
+
+
 def _pre_call(x, norm_scale, norm_bias, w, scale, bias, layer, bits,
-              eps, interpret):
+              eps, interpret, rows_tile=None):
     t, dm = x.shape
     n = w.shape[-1]
     kp = w.shape[-2]                      # packed K rows (K or K/2)
+    tiled = rows_tile is not None
+    rt = rows_tile if tiled else t
+    rb = t // rt
+    assert t == rb * rt, (t, rt)
 
     # output tile: the dequant temporaries (2 x (kp, nt) f32 unpack for
     # int4; a (kp, nt) bf16 cast for int8; none for bf16) cap usable VMEM
@@ -120,7 +145,7 @@ def _pre_call(x, norm_scale, norm_bias, w, scale, bias, layer, bits,
     stacked = w.ndim == 3
     lidx = 0 if not stacked else layer
 
-    def wmap(j, l=lidx):
+    def wmap(j, *r, l=lidx):
         return (l, 0, j) if stacked else (0, j)
 
     wspec = pl.BlockSpec(((1,) if stacked else ()) + (kp, nt), wmap,
@@ -131,19 +156,33 @@ def _pre_call(x, norm_scale, norm_bias, w, scale, bias, layer, bits,
               else scale.reshape(1, n)).astype(jnp.float32)
     bias2 = (bias.reshape(-1, 1, n) if stacked
              else bias.reshape(1, n))
-    row = pl.BlockSpec((1, dm), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    if tiled:
+        row = pl.BlockSpec((1, dm), lambda j, r: (0, 0),
+                           memory_space=pltpu.VMEM)
+        xspec = pl.BlockSpec((rt, dm), lambda j, r: (r, 0),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((rt, nt), lambda j, r: (r, j),
+                             memory_space=pltpu.VMEM)
+        grid = (n // nt, rb)
+        kernel = _pre_kernel_tiled
+        ln_shape = (rb, rt, dm)
+    else:
+        row = pl.BlockSpec((1, dm), lambda j: (0, 0),
+                           memory_space=pltpu.VMEM)
+        xspec = pl.BlockSpec((t, dm), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((t, nt), lambda j: (0, j),
+                             memory_space=pltpu.VMEM)
+        grid = (n // nt,)
+        kernel = _pre_kernel
+        ln_shape = (t, dm)
     return pl.pallas_call(
-        functools.partial(_pre_kernel, bits=bits, eps=eps),
-        grid=(n // nt,),
-        in_specs=[
-            pl.BlockSpec((t, dm), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            row, row, wspec, sspec, sspec,
-        ],
-        out_specs=pl.BlockSpec((t, nt), lambda j: (0, j),
-                               memory_space=pltpu.VMEM),
+        functools.partial(kernel, bits=bits, eps=eps),
+        grid=grid,
+        in_specs=[xspec, row, row, wspec, sspec, sspec],
+        out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((t, dm), x.dtype)],
+        scratch_shapes=[pltpu.VMEM(ln_shape, x.dtype)],
         interpret=interpret,
         name="layer_pre_attn",
     )(x, norm_scale.reshape(1, dm), norm_bias.reshape(1, dm), w, scale2,
@@ -154,6 +193,23 @@ def _pre_call(x, norm_scale, norm_bias, w, scale, bias, layer, bits,
 # post-attention: out_proj + residual + norm2 + MLP + residual
 # ---------------------------------------------------------------------------
 
+def _post_x1_ln(x32, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ns_ref,
+                nb_ref, bits, eps):
+    """out_proj + residual + norm2 for one row block -> (x1 f32, ln f32)."""
+    proj = _deq_dot(at_ref[...], wo_ref, so_ref, bits)
+    bo = bo_ref[0] if bo_ref.ndim == 3 else bo_ref[...]
+    proj = proj + bo.astype(jnp.float32)
+    # layer_scale_1 (mimi transformer; ones for the backbone)
+    x1 = x32 + ls1_ref[...].astype(jnp.float32) * proj
+    mean = jnp.mean(x1, axis=-1, keepdims=True)
+    xc = x1 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = xc * jax.lax.rsqrt(var + eps)
+    ln = (ln * ns_ref[...].astype(jnp.float32)
+          + nb_ref[...].astype(jnp.float32))
+    return x1, ln
+
+
 def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ls2_ref,
                  ns_ref, nb_ref,
                  w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref, b1b_ref,
@@ -163,24 +219,78 @@ def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ls2_ref,
 
     @pl.when(j == 0)
     def _():
-        proj = _deq_dot(at_ref[...], wo_ref, so_ref, bits)
-        bo = bo_ref[0] if bo_ref.ndim == 3 else bo_ref[...]
-        proj = proj + bo.astype(jnp.float32)
-        # layer_scale_1 (mimi transformer; ones for the backbone)
-        x1 = (x_ref[...].astype(jnp.float32)
-              + ls1_ref[...].astype(jnp.float32) * proj)
+        x1, ln = _post_x1_ln(x_ref[...].astype(jnp.float32), at_ref,
+                             wo_ref, so_ref, bo_ref, ls1_ref, ns_ref,
+                             nb_ref, bits, eps)
         x1_s[...] = x1
-        x32 = x1
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        xc = x32 - mean
-        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-        ln = xc * jax.lax.rsqrt(var + eps)
-        ln = (ln * ns_ref[...].astype(jnp.float32)
-              + nb_ref[...].astype(jnp.float32))
         ln_s[...] = ln.astype(ln_s.dtype)
         acc_s[...] = jnp.zeros_like(acc_s)
 
     ln = ln_s[...]
+
+    def add(a):
+        acc_s[...] += a
+
+    _mlp_add(add, ln, w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref,
+             b1b_ref, w2_ref, bits=bits, approx=approx)
+
+    @pl.when(j == nsteps - 1)
+    def _():
+        s2 = (s2_ref[0] if s2_ref.ndim == 3
+              else s2_ref[...]).astype(jnp.float32)
+        b2 = b2_ref[0] if b2_ref.ndim == 3 else b2_ref[...]
+        up = acc_s[...] * s2 + b2.astype(jnp.float32)
+        o_ref[...] = (x1_s[...]
+                      + ls2_ref[...].astype(jnp.float32) * up
+                      ).astype(o_ref.dtype)
+
+
+def _post_kernel_tiled(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref,
+                       ls2_ref, ns_ref, nb_ref,
+                       w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref, b1b_ref,
+                       w2_ref, s2_ref, b2_ref, o_ref, x1_s, ln_s, acc_s,
+                       *, bits, eps, approx, nsteps):
+    """Row-tiled _post_kernel: grid (hidden_tiles, row_blocks); each row
+    block keeps its x1/ln/acc in its own scratch slab (dynamic index on
+    the leading scratch axis — 3-D refs only, per Mosaic). Scheme note:
+    the raw* single-row int4 paths never fire here (rt > 1), so the MLP
+    runs the batch 'unpack' scheme like the XLA fallback did."""
+    j = pl.program_id(0)
+    r = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        x1, ln = _post_x1_ln(x_ref[...].astype(jnp.float32), at_ref,
+                             wo_ref, so_ref, bo_ref, ls1_ref, ns_ref,
+                             nb_ref, bits, eps)
+        x1_s[r] = x1
+        ln_s[r] = ln.astype(ln_s.dtype)
+        acc_s[r] = jnp.zeros_like(acc_s[r])
+
+    ln = ln_s[r]
+
+    def add(a):
+        acc_s[r] += a
+
+    _mlp_add(add, ln, w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref,
+             b1b_ref, w2_ref, bits=bits, approx=approx)
+
+    @pl.when(j == nsteps - 1)
+    def _():
+        s2 = (s2_ref[0] if s2_ref.ndim == 3
+              else s2_ref[...]).astype(jnp.float32)
+        b2 = b2_ref[0] if b2_ref.ndim == 3 else b2_ref[...]
+        up = acc_s[r] * s2 + b2.astype(jnp.float32)
+        o_ref[...] = (x1_s[r]
+                      + ls2_ref[...].astype(jnp.float32) * up
+                      ).astype(o_ref.dtype)
+
+
+def _mlp_add(add, ln, w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref, b1b_ref,
+             w2_ref, *, bits, approx):
+    """One hidden-tile MLP step: add() each partial (rows, dm) f32
+    accumulator update (callback so callers control the scratch slab and
+    the f32 accumulation order stays exactly the monolithic kernel's)."""
     f = jnp.float32
     if bits == 4:
         # packed W2 block: lo nibbles hold hidden rows of the LOW half
@@ -217,7 +327,7 @@ def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ls2_ref,
                                        (((1,), (0,)), ((), ())),
                                        preferred_element_type=f)
             acc -= 8.0 * jnp.sum(ha, axis=-1, keepdims=True)
-            acc_s[...] += acc
+            add(acc)
             lo_half = hi_half = None
         elif INT4_SCHEME == "rawf32" and ln.shape[0] == 1:
             # f32 operands: the MXU's DEFAULT-precision input truncation
@@ -260,21 +370,12 @@ def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ls2_ref,
                 hb, m2, (((1,), (0,)), ((), ())), preferred_element_type=f)
         if mode in ("rawdot", "bias8"):
             acc -= 8.0 * jnp.sum(hb.astype(f), axis=-1, keepdims=True)
-        acc_s[...] += acc
-
-    @pl.when(j == nsteps - 1)
-    def _():
-        s2 = (s2_ref[0] if s2_ref.ndim == 3
-              else s2_ref[...]).astype(jnp.float32)
-        b2 = b2_ref[0] if b2_ref.ndim == 3 else b2_ref[...]
-        up = acc_s[...] * s2 + b2.astype(jnp.float32)
-        o_ref[...] = (x1_s[...]
-                      + ls2_ref[...].astype(jnp.float32) * up
-                      ).astype(o_ref.dtype)
+        add(acc)
 
 
 def _post_call(x, attn, wo, so, bo, ls1, ls2, norm_scale, norm_bias,
-               w1, s1, b1, w2, s2, b2, layer, bits, eps, approx, interpret):
+               w1, s1, b1, w2, s2, b2, layer, bits, eps, approx, interpret,
+               rows_tile=None):
     t, dm = x.shape
     hidden = w1.shape[-1]
     stacked = w1.ndim == 3
@@ -288,21 +389,28 @@ def _post_call(x, attn, wo, so, bo, ls1, ls2, norm_scale, norm_bias,
         nt //= 2
     nsteps = span // nt
     kp1 = w1.shape[-2]
+    tiled = rows_tile is not None
+    rt = rows_tile if tiled else t
+    rb = t // rt
+    assert t == rb * rt, (t, rt)
 
     pre = (1,) if stacked else ()
 
-    def wmap1a(j, l=lidx):
+    # weight/scale maps ignore the (tiled-mode) trailing row index: the
+    # row dim is the MINOR grid dim, so each weight tile stays resident
+    # across all row blocks and streams from HBM once per hidden tile
+    def wmap1a(j, *r, l=lidx):
         return (l, 0, j) if stacked else (0, j)
 
     off_b = span // nt if bits == 4 else 0
 
-    def wmap1b(j, l=lidx, o=off_b):
+    def wmap1b(j, *r, l=lidx, o=off_b):
         return (l, 0, j + o) if stacked else (0, j + o)
 
-    def wmap2(j, l=lidx):
+    def wmap2(j, *r, l=lidx):
         return (l, j, 0) if stacked else (j, 0)
 
-    def cmap(j, l=lidx):
+    def cmap(j, *r, l=lidx):
         return (l, 0, 0) if stacked else (0, 0)
 
     w1spec = pl.BlockSpec(pre + (kp1, nt), wmap1a, memory_space=pltpu.VMEM)
@@ -313,8 +421,30 @@ def _post_call(x, attn, wo, so, bo, ls1, ls2, norm_scale, norm_bias,
     dmspec = pl.BlockSpec(pre + (1, dm), cmap, memory_space=pltpu.VMEM)
     wospec = pl.BlockSpec(pre + (wo.shape[-2], dm), cmap,
                           memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((1, dm), lambda j: (0, 0), memory_space=pltpu.VMEM)
-    xspec = pl.BlockSpec((t, dm), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    if tiled:
+        row = pl.BlockSpec((1, dm), lambda j, r: (0, 0),
+                           memory_space=pltpu.VMEM)
+        xspec = pl.BlockSpec((rt, dm), lambda j, r: (r, 0),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((rt, dm), lambda j, r: (r, 0),
+                             memory_space=pltpu.VMEM)
+        grid = (nsteps, rb)
+        base_kernel = _post_kernel_tiled
+        scratch = [pltpu.VMEM((rb, rt, dm), jnp.float32),
+                   pltpu.VMEM((rb, rt, dm), x.dtype),
+                   pltpu.VMEM((rb, rt, dm), jnp.float32)]
+    else:
+        row = pl.BlockSpec((1, dm), lambda j: (0, 0),
+                           memory_space=pltpu.VMEM)
+        xspec = pl.BlockSpec((t, dm), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((t, dm), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM)
+        grid = (nsteps,)
+        base_kernel = _post_kernel
+        scratch = [pltpu.VMEM((t, dm), jnp.float32),
+                   pltpu.VMEM((t, dm), x.dtype),
+                   pltpu.VMEM((t, dm), jnp.float32)]
 
     def r2(a, n):
         return (a.reshape(-1, 1, n) if stacked else a.reshape(1, n))
@@ -328,26 +458,20 @@ def _post_call(x, attn, wo, so, bo, ls1, ls2, norm_scale, norm_bias,
     in_specs = [xspec, xspec, wospec, dmspec, dmspec, row, row, row, row,
                 w1spec, s1spec, s1spec, w1bspec, s1bspec, s1bspec,
                 w2spec, dmspec, dmspec]
+    kernel = functools.partial(base_kernel, bits=bits, eps=eps,
+                               approx=approx, nsteps=nsteps)
     if bits != 4:
         # int8: one hidden tile per step — drop the second W1 pass
-        kernel = functools.partial(_post_kernel, bits=bits, eps=eps,
-                                   approx=approx, nsteps=nsteps)
         kernel = _drop_b(kernel)
         operands = operands[:12] + operands[15:]
         in_specs = in_specs[:12] + in_specs[15:]
-    else:
-        kernel = functools.partial(_post_kernel, bits=bits, eps=eps,
-                                   approx=approx, nsteps=nsteps)
     return pl.pallas_call(
         kernel,
-        grid=(nsteps,),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((t, dm), lambda j: (0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((t, dm), x.dtype),
-        scratch_shapes=[pltpu.VMEM((t, dm), jnp.float32),
-                        pltpu.VMEM((t, dm), x.dtype),
-                        pltpu.VMEM((t, dm), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
         name="layer_post_attn",
     )(*operands)
@@ -445,6 +569,24 @@ def _post_xla(x, attn, wo, so, bo, ls1, ls2, ns, nb, w1, s1, b1, w2, s2,
     return (x1 + ls2.reshape(1, -1).astype(f) * up).astype(x.dtype)
 
 
+def _pick_rows_tile(rows):
+    """Row-block size for the tiled kernels above MAX_FUSED_ROWS, or None
+    to take the XLA fallback: the largest divisor of rows <= the known-good
+    64, floored at 16 (tiny ragged tiles waste the MXU), with total rows
+    capped at 256 — the per-row-block scratch slabs are (rb, rt, dm) f32
+    resident all kernel long, ~rows * dm * 12 B for _post_call."""
+    if rows > 256:
+        return None
+    rt = MAX_FUSED_ROWS
+    while rt >= 16 and rows % rt:
+        rt //= 2
+    return rt if rt >= 16 else None
+
+
+def _tiled_ok(interpret):
+    return interpret or jax.default_backend() == "tpu"
+
+
 @functools.lru_cache(maxsize=None)
 def _make_pre(layer, bits, eps, interpret):
     @jax.custom_batching.custom_vmap
@@ -455,11 +597,15 @@ def _make_pre(layer, bits, eps, interpret):
     def _rule(axis_size, in_batched, x, ns, nb, w, s, b):
         assert in_batched[0] and not any(in_batched[1:]), in_batched
         t = x.shape[1]
-        xr = x.reshape(axis_size * t, -1)
-        if axis_size * t > MAX_FUSED_ROWS:
-            y = _pre_xla(xr, ns, nb, w, s, b, layer, bits, eps)
-        else:
+        rows = axis_size * t
+        xr = x.reshape(rows, -1)
+        if rows <= MAX_FUSED_ROWS:
             y = fn(xr, ns, nb, w, s, b)
+        elif (rt := _pick_rows_tile(rows)) and _tiled_ok(interpret):
+            y = _pre_call(xr, ns, nb, w, s, b, layer, bits, eps,
+                          interpret, rows_tile=rt)
+        else:
+            y = _pre_xla(xr, ns, nb, w, s, b, layer, bits, eps)
         return y.reshape(axis_size, t, -1), True
 
     return fn
@@ -478,14 +624,19 @@ def _make_post(layer, bits, eps, approx, interpret):
         assert in_batched[0] and in_batched[1], in_batched
         assert not any(in_batched[2:]), in_batched
         t = x.shape[1]
-        xr = x.reshape(axis_size * t, -1)
-        ar = attn.reshape(axis_size * t, -1)
-        if axis_size * t > MAX_FUSED_ROWS:
-            y = _post_xla(xr, ar, wo, so, bo, ls1, ls2, ns, nb, w1, s1, b1,
-                          w2, s2, b2, layer, bits, eps, approx)
-        else:
+        rows = axis_size * t
+        xr = x.reshape(rows, -1)
+        ar = attn.reshape(rows, -1)
+        if rows <= MAX_FUSED_ROWS:
             y = fn(xr, ar, wo, so, bo, ls1, ls2, ns, nb, w1, s1, b1, w2,
                    s2, b2)
+        elif (rt := _pick_rows_tile(rows)) and _tiled_ok(interpret):
+            y = _post_call(xr, ar, wo, so, bo, ls1, ls2, ns, nb, w1, s1,
+                           b1, w2, s2, b2, layer, bits, eps, approx,
+                           interpret, rows_tile=rt)
+        else:
+            y = _post_xla(xr, ar, wo, so, bo, ls1, ls2, ns, nb, w1, s1, b1,
+                          w2, s2, b2, layer, bits, eps, approx)
         return y.reshape(axis_size, t, -1), True
 
     return fn

@@ -201,30 +201,79 @@ class TestFusedLayer:
             np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
                                        atol=2e-4, err_msg=f"bits={bits}")
 
-    def test_large_batch_vmap_falls_back_to_xla(self):
-        """Above MAX_FUSED_ROWS collapsed rows the custom_vmap rules must
-        dispatch the XLA fallback (Mosaic's remote compile crashes on the
-        kernels at T=128 rows on hardware — bisected at B=128 cohort
-        serving) and still match the unfused math per stream."""
+    def test_large_batch_vmap_rows_tiled(self):
+        """Above MAX_FUSED_ROWS collapsed rows the custom_vmap rules
+        re-dispatch the kernels ROW-TILED (grid over <=64-row blocks —
+        Mosaic's remote compile crashes on the monolithic form at 128
+        rows) and still match the unfused math per stream. interpret=True
+        runs the tiled kernels themselves on CPU."""
+        rng = np.random.RandomState(12)
+        dm = CFG.backbone.d_model
+        for bsz in (96, 128):  # rows_tile 32 (rb=3) and 64 (rb=2)
+            xs = jnp.asarray(rng.randn(bsz, 1, dm).astype(np.float32) * 0.3)
+            ats = jnp.asarray(rng.randn(bsz, 1, dm).astype(np.float32) * 0.3)
+            for bits in (8, 4):
+                p = _layer_params(bits)
+                got_pre = jax.vmap(lambda x: fused_layer.pre_attention(
+                    p, x, interpret=True))(xs)
+                want_pre = jax.vmap(lambda x: _unfused_pre(p, x))(xs)
+                np.testing.assert_allclose(np.asarray(got_pre),
+                                           np.asarray(want_pre), atol=1e-4,
+                                           err_msg=f"pre bits={bits}")
+                got_post = jax.vmap(lambda x, a: fused_layer.post_attention(
+                    p, x, a, interpret=True))(xs, ats)
+                want_post = jax.vmap(lambda x, a: _unfused_post(p, x, a))(
+                    xs, ats)
+                np.testing.assert_allclose(np.asarray(got_post),
+                                           np.asarray(want_post), atol=2e-4,
+                                           err_msg=f"post bits={bits}")
+
+    def test_tiled_matches_monolithic_rows(self):
+        """The tiled kernels are bit-compatible with per-block monolithic
+        calls: rows_tile=32 over 96 rows == three 32-row monolithic calls
+        stacked (same LN/accumulation order per block)."""
+        rng = np.random.RandomState(13)
+        dm = CFG.backbone.d_model
+        p = _layer_params(4)
+        w, s, b, bits = fused_layer._qw(p["in_proj"])
+        if b is None:
+            b = fused_layer._zeros_like_bias(w, w.ndim == 3, w.shape[-1])
+        layer = p["in_proj"].get("_layer", 0)
+        x = jnp.asarray(rng.randn(96, dm).astype(np.float32) * 0.3)
+        ns, nb = p["norm1"]["scale"], p["norm1"]["bias"]
+        tiled = fused_layer._pre_call(x, ns, nb, w, s, b, layer, bits,
+                                      1e-5, True, rows_tile=32)
+        mono = jnp.concatenate([
+            fused_layer._pre_call(x[i:i + 32], ns, nb, w, s, b, layer,
+                                  bits, 1e-5, True) for i in (0, 32, 64)])
+        np.testing.assert_array_equal(np.asarray(tiled), np.asarray(mono))
+
+    def test_oversize_batch_vmap_falls_back_to_xla(self):
+        """Past the tiled path's 256-row scratch cap (and always off-TPU
+        without interpret) the rules take the XLA fallback and still match
+        the unfused math per stream."""
         rng = np.random.RandomState(11)
         dm = CFG.backbone.d_model
-        bsz = fused_layer.MAX_FUSED_ROWS + 32
+        # 96 rows interpret=False: off-TPU gate (an accidental kernel
+        # dispatch FAILS loudly — pallas tpu lowering errors on CPU).
+        # 288 rows interpret=True: the 256-row scratch cap under interpret.
+        for bsz, interp in ((fused_layer.MAX_FUSED_ROWS + 32, False),
+                            (288, True)):
+            self._check_xla_fallback(rng, dm, bsz, interp)
+
+    def _check_xla_fallback(self, rng, dm, bsz, interp):
         xs = jnp.asarray(rng.randn(bsz, 1, dm).astype(np.float32) * 0.3)
         ats = jnp.asarray(rng.randn(bsz, 1, dm).astype(np.float32) * 0.3)
         for bits in (8, 4):
             p = _layer_params(bits)
-            # interpret=True would make an accidental kernel dispatch work
-            # on CPU; interpret=False means this test FAILS loudly if the
-            # >MAX_FUSED_ROWS guard ever regresses (pallas tpu lowering
-            # errors off-TPU)
             got_pre = jax.vmap(lambda x: fused_layer.pre_attention(
-                p, x, interpret=False))(xs)
+                p, x, interpret=interp))(xs)
             want_pre = jax.vmap(lambda x: _unfused_pre(p, x))(xs)
             np.testing.assert_allclose(np.asarray(got_pre),
                                        np.asarray(want_pre), atol=1e-4,
                                        err_msg=f"pre bits={bits}")
             got_post = jax.vmap(lambda x, a: fused_layer.post_attention(
-                p, x, a, interpret=False))(xs, ats)
+                p, x, a, interpret=interp))(xs, ats)
             want_post = jax.vmap(lambda x, a: _unfused_post(p, x, a))(
                 xs, ats)
             np.testing.assert_allclose(np.asarray(got_post),
