@@ -15,10 +15,13 @@ the exact release artifact without a pip dependency:
 * decoding with byte-piece reassembly, control-piece skipping and the
   dummy-prefix space strip.
 
-Known divergence (documented): the release normalizer is ``nmt_nfkc`` whose
-precompiled charsmap we approximate with ``unicodedata.normalize("NFKC")``
-plus NMT whitespace/control cleanup.  For the ASCII English prompts this
-model targets the two are identical.
+Normalization: when the model ships a ``precompiled_charsmap`` (the
+release ``nmt_nfkc`` artifact does), the EXACT normalizer runs — the
+compiled rule trie applied with libsentencepiece's normalizer.cc
+algorithm (text/charsmap.py), byte-identical to the reference for any
+input.  Models without a charsmap fall back to a documented
+approximation: ``unicodedata.normalize("NFKC")`` plus NMT
+whitespace/control cleanup (identical for ASCII prompts).
 """
 from __future__ import annotations
 
@@ -26,6 +29,8 @@ import struct
 import unicodedata
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
+
+from .charsmap import PrecompiledCharsmap
 
 SPACE = "▁"  # ▁ — sentencepiece whitespace escape
 
@@ -136,6 +141,7 @@ class SentencePieceModel:
     byte_fallback: bool = False
     unk_surface: str = _DEFAULT_UNK_SURFACE
     normalizer_name: str = "nmt_nfkc"
+    precompiled_charsmap: bytes = b""
     add_dummy_prefix: bool = True
     remove_extra_whitespaces: bool = True
     escape_whitespaces: bool = True
@@ -179,6 +185,8 @@ class SentencePieceModel:
                 for f2, w2, v2 in _scan_fields(val):
                     if f2 == 1 and w2 == 2:
                         m.normalizer_name = v2.decode("utf-8")
+                    elif f2 == 2 and w2 == 2:
+                        m.precompiled_charsmap = v2
                     elif f2 == 3 and w2 == 0:
                         m.add_dummy_prefix = bool(v2)
                     elif f2 == 4 and w2 == 0:
@@ -215,6 +223,8 @@ class SentencePieceModel:
         _write_len(out, 2, bytes(tspec))
         nspec = bytearray()
         _write_len(nspec, 1, self.normalizer_name.encode("utf-8"))
+        if self.precompiled_charsmap:
+            _write_len(nspec, 2, self.precompiled_charsmap)
         _write_uvarint_field(nspec, 3, int(self.add_dummy_prefix))
         _write_uvarint_field(nspec, 4, int(self.remove_extra_whitespaces))
         _write_uvarint_field(nspec, 5, int(self.escape_whitespaces))
@@ -247,6 +257,8 @@ class UnigramTokenizer:
         self._max_piece_len = max(
             (len(p) for p in self._vocab), default=1)
         self._unk_score = min_score - _UNK_PENALTY
+        self._charsmap = (PrecompiledCharsmap(model.precompiled_charsmap)
+                          if model.precompiled_charsmap else None)
         if model.byte_fallback and len(self._byte_ids) != 256:
             raise ValueError(
                 "byte_fallback model is missing byte pieces "
@@ -264,6 +276,8 @@ class UnigramTokenizer:
 
     # -- normalization ------------------------------------------------------
     def normalize(self, text: str) -> str:
+        if self._charsmap is not None:
+            return self._normalize_exact(text)
         m = self.model
         if "nfkc" in m.normalizer_name:
             text = unicodedata.normalize("NFKC", text)
@@ -287,6 +301,48 @@ class UnigramTokenizer:
         if m.escape_whitespaces:
             text = text.replace(" ", SPACE)
         return text
+
+    def _normalize_exact(self, text: str) -> str:
+        """libsentencepiece normalizer.cc Normalize(), byte level: the
+        charsmap trie supplies every per-character rule (for nmt_nfkc the
+        compiled rules subsume NFKC *and* the NMT control/whitespace
+        cleanup); this loop adds only the spec-driven framing — leading
+        whitespace skip, dummy prefix, in-piece heading-space removal
+        after a space, ▁-escaping, trailing-space strip."""
+        m = self.model
+        cm = self._charsmap
+        data = text.encode("utf-8")
+        i, n = 0, len(data)
+        if m.remove_extra_whitespaces:
+            while i < n:
+                sp, consumed = cm.normalize_prefix(data, i)
+                if sp != b" ":
+                    break
+                i += consumed
+        if i >= n:
+            return ""
+        space = SPACE.encode("utf-8") if m.escape_whitespaces else b" "
+        out = bytearray()
+        if m.add_dummy_prefix:
+            out += space
+        is_prev_space = m.remove_extra_whitespaces
+        while i < n:
+            sp, consumed = cm.normalize_prefix(data, i)
+            if is_prev_space:
+                sp = sp.lstrip(b" ")
+            if sp:
+                if m.escape_whitespaces:
+                    out += sp.replace(b" ", space)
+                else:
+                    out += sp
+                is_prev_space = sp.endswith(b" ")
+            i += consumed
+            if not m.remove_extra_whitespaces:
+                is_prev_space = False
+        if m.remove_extra_whitespaces:
+            while out.endswith(space):
+                del out[len(out) - len(space):]
+        return out.decode("utf-8")
 
     # -- encode -------------------------------------------------------------
     def encode(self, text: str) -> List[int]:
