@@ -100,12 +100,17 @@ def supported(p) -> bool:
     final adaln) must share one quantized layout; the tiny latent-facing
     projections (input_proj, final linear — a few KB) may stay plain
     weights (they fall under the quantization size floor)."""
+    from .fused_layer import grouped_scales
     big = [p["cond_embed"], p["res_blocks"]["adaln"],
            p["res_blocks"]["mlp_0"], p["res_blocks"]["mlp_2"],
            p["final"]["adaln"]]
+    small = (p["input_proj"], p["final"]["linear"])
     bits = {_qw(m)[3] for m in big}
-    small_ok = all(_qw(m)[3] in (4, 8, 16)
-                   for m in (p["input_proj"], p["final"]["linear"]))
+    small_ok = all(_qw(m)[3] in (4, 8, 16) for m in small)
+    # K-grouped (Q4_0) scales: this kernel folds scales per output
+    # channel — grouped layouts route to quant_matmul's grouped kernel
+    if any(grouped_scales(m) for m in list(big) + list(small)):
+        return False
     return len(bits) == 1 and bits.issubset({4, 8}) and small_ok
 
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .quant_matmul import _int4_dots, unpack_int4
+from .quant_matmul import _int4_dots, grouped_int4_acc, unpack_int4
 
 # Mosaic's remote compile crashes on these kernels above 64 collapsed
 # rows in their MONOLITHIC form (bisected on v5e at B=128 cohort
@@ -58,11 +58,18 @@ def _ln_f32(x_ref, scale_ref, bias_ref, eps):
 
 
 def _deq_dot(x_bf16, w_ref, s_ref, bits):
-    """x (T, K) bf16 @ dequant(w block) * scale -> (T, nt) f32."""
+    """x (T, K) bf16 @ dequant(w block) * scale -> (T, nt) f32.
+
+    Scale block (1, nt): per-output-channel, folded into the accumulator
+    after the dot. (KG, nt) with KG > 1: K-grouped (Q4_0 granularity) —
+    dequantized in place via quant_matmul.grouped_int4_acc (a KG == 1
+    grouped layout is per-channel semantics and takes the fold path)."""
     w = w_ref[0] if w_ref.ndim == 3 else w_ref[...]
     s = s_ref[0] if s_ref.ndim == 3 else s_ref[...]
     if bits == 4:
         kh = w.shape[0]
+        if s.shape[0] > 1:
+            return grouped_int4_acc(x_bf16[:, :kh], x_bf16[:, kh:], w, s)
         acc = _int4_dots(x_bf16[:, :kh], x_bf16[:, kh:], w)
     else:
         acc = jax.lax.dot_general(
@@ -128,15 +135,18 @@ def _pre_call(x, norm_scale, norm_bias, w, scale, bias, layer, bits,
     t, dm = x.shape
     n = w.shape[-1]
     kp = w.shape[-2]                      # packed K rows (K or K/2)
+    kg = scale.shape[-2] if scale.ndim == w.ndim else 1  # grouped rows
     tiled = rows_tile is not None
     rt = rows_tile if tiled else t
     rb = t // rt
     assert t == rb * rt, (t, rt)
 
     # output tile: the dequant temporaries (2 x (kp, nt) f32 unpack for
-    # int4; a (kp, nt) bf16 cast for int8; none for bf16) cap usable VMEM
+    # int4 — plus two more f32 expanded-scale tiles and two bf16 dequant
+    # tiles when scales are K-grouped; a (kp, nt) bf16 cast for int8;
+    # none for bf16) cap usable VMEM
     def vmem(nt):
-        per_byte = {4: 9, 8: 3, 16: 2}[bits]
+        per_byte = {4: 21 if kg > 1 else 9, 8: 3, 16: 2}[bits]
         return kp * nt * per_byte
 
     nt = n
@@ -150,10 +160,12 @@ def _pre_call(x, norm_scale, norm_bias, w, scale, bias, layer, bits,
 
     wspec = pl.BlockSpec(((1,) if stacked else ()) + (kp, nt), wmap,
                          memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec(((1,) if stacked else ()) + (1, nt), wmap,
+    sspec = pl.BlockSpec(((1,) if stacked else ()) + (kg, nt), wmap,
                          memory_space=pltpu.VMEM)
-    scale2 = (scale.reshape(-1, 1, n) if stacked
-              else scale.reshape(1, n)).astype(jnp.float32)
+    bspec = pl.BlockSpec(((1,) if stacked else ()) + (1, nt), wmap,
+                         memory_space=pltpu.VMEM)
+    scale2 = (scale.reshape(-1, kg, n) if stacked
+              else scale.reshape(kg, n)).astype(jnp.float32)
     bias2 = (bias.reshape(-1, 1, n) if stacked
              else bias.reshape(1, n))
     if tiled:
@@ -179,7 +191,7 @@ def _pre_call(x, norm_scale, norm_bias, w, scale, bias, layer, bits,
     return pl.pallas_call(
         functools.partial(kernel, bits=bits, eps=eps),
         grid=grid,
-        in_specs=[xspec, row, row, wspec, sspec, sspec],
+        in_specs=[xspec, row, row, wspec, sspec, bspec],
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((t, n), x.dtype),
         scratch_shapes=[pltpu.VMEM(ln_shape, x.dtype)],
@@ -210,11 +222,22 @@ def _post_x1_ln(x32, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ns_ref,
     return x1, ln
 
 
+def _post_tail(acc, s2a_ref, b2_ref, g2):
+    """Final-step accumulator close: per-channel folds s2 (g2 False);
+    grouped W2 scales were applied per tile inside _mlp_add."""
+    if not g2:
+        s2 = (s2a_ref[0] if s2a_ref.ndim == 3
+              else s2a_ref[...]).astype(jnp.float32)
+        acc = acc * s2
+    b2 = b2_ref[0] if b2_ref.ndim == 3 else b2_ref[...]
+    return acc + b2.astype(jnp.float32)
+
+
 def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ls2_ref,
                  ns_ref, nb_ref,
                  w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref, b1b_ref,
-                 w2_ref, s2_ref, b2_ref, o_ref, x1_s, ln_s, acc_s,
-                 *, bits, eps, approx, nsteps):
+                 w2_ref, s2a_ref, s2b_ref, b2_ref, o_ref, x1_s, ln_s,
+                 acc_s, *, bits, eps, approx, nsteps, g2):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -232,14 +255,12 @@ def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ls2_ref,
         acc_s[...] += a
 
     _mlp_add(add, ln, w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref,
-             b1b_ref, w2_ref, bits=bits, approx=approx)
+             b1b_ref, w2_ref, s2a_ref, s2b_ref, bits=bits, approx=approx,
+             g2=g2)
 
     @pl.when(j == nsteps - 1)
     def _():
-        s2 = (s2_ref[0] if s2_ref.ndim == 3
-              else s2_ref[...]).astype(jnp.float32)
-        b2 = b2_ref[0] if b2_ref.ndim == 3 else b2_ref[...]
-        up = acc_s[...] * s2 + b2.astype(jnp.float32)
+        up = _post_tail(acc_s[...], s2a_ref, b2_ref, g2)
         o_ref[...] = (x1_s[...]
                       + ls2_ref[...].astype(jnp.float32) * up
                       ).astype(o_ref.dtype)
@@ -248,8 +269,8 @@ def _post_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ls2_ref,
 def _post_kernel_tiled(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref,
                        ls2_ref, ns_ref, nb_ref,
                        w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref, b1b_ref,
-                       w2_ref, s2_ref, b2_ref, o_ref, x1_s, ln_s, acc_s,
-                       *, bits, eps, approx, nsteps):
+                       w2_ref, s2a_ref, s2b_ref, b2_ref, o_ref, x1_s, ln_s,
+                       acc_s, *, bits, eps, approx, nsteps, g2):
     """Row-tiled _post_kernel: grid (hidden_tiles, row_blocks); each row
     block keeps its x1/ln/acc in its own scratch slab (dynamic index on
     the leading scratch axis — 3-D refs only, per Mosaic). Scheme note:
@@ -273,25 +294,53 @@ def _post_kernel_tiled(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref,
         acc_s[r] += a
 
     _mlp_add(add, ln, w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref,
-             b1b_ref, w2_ref, bits=bits, approx=approx)
+             b1b_ref, w2_ref, s2a_ref, s2b_ref, bits=bits, approx=approx,
+             g2=g2)
 
     @pl.when(j == nsteps - 1)
     def _():
-        s2 = (s2_ref[0] if s2_ref.ndim == 3
-              else s2_ref[...]).astype(jnp.float32)
-        b2 = b2_ref[0] if b2_ref.ndim == 3 else b2_ref[...]
-        up = acc_s[r] * s2 + b2.astype(jnp.float32)
+        up = _post_tail(acc_s[r], s2a_ref, b2_ref, g2)
         o_ref[...] = (x1_s[r]
                       + ls2_ref[...].astype(jnp.float32) * up
                       ).astype(o_ref.dtype)
 
 
 def _mlp_add(add, ln, w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref, b1b_ref,
-             w2_ref, *, bits, approx):
+             w2_ref, s2a_ref, s2b_ref, *, bits, approx, g2):
     """One hidden-tile MLP step: add() each partial (rows, dm) f32
     accumulator update (callback so callers control the scratch slab and
-    the f32 accumulation order stays exactly the monolithic kernel's)."""
+    the f32 accumulation order stays exactly the monolithic kernel's).
+    g2: W2 scales are K-grouped — s2a/s2b carry this tile's lo/hi-half
+    scale row slabs and the dequant happens here instead of the final
+    fold (per-channel mode never reads s2a/s2b in this function)."""
     f = jnp.float32
+    if bits == 4 and g2:
+        # Q4_0-granularity W2: dequantize this tile's lo/hi halves with
+        # their grouped scale slabs (constant 0/1-matmul expansion like
+        # quant_matmul.grouped_int4_acc), then one bf16 dot per half
+        w2p = w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...]
+        rows = w2p.shape[0]
+        b32 = w2p.astype(f)
+        hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
+        lo32 = b32 - 16.0 * hi32 - 8.0
+        s2a = (s2a_ref[0] if s2a_ref.ndim == 3 else s2a_ref[...]).astype(f)
+        s2b = (s2b_ref[0] if s2b_ref.ndim == 3 else s2b_ref[...]).astype(f)
+        group = rows // s2a.shape[0]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, s2a.shape[0]), 0)
+        rj = jax.lax.broadcasted_iota(jnp.int32, (rows, s2a.shape[0]), 1)
+        r01 = (ri // group == rj).astype(f)
+        exp_a = jnp.dot(r01, s2a, preferred_element_type=f)
+        exp_b = jnp.dot(r01, s2b, preferred_element_type=f)
+        for w1_ref, s1_ref, b1_ref, m1 in (
+                (w1a_ref, s1a_ref, b1a_ref, (lo32 * exp_a).astype(ln.dtype)),
+                (w1b_ref, s1b_ref, b1b_ref, (hi32 * exp_b).astype(ln.dtype))):
+            h = _deq_dot(ln, w1_ref, s1_ref, bits)
+            b1 = b1_ref[0] if b1_ref.ndim == 3 else b1_ref[...]
+            h = _gelu_f32(h + b1.astype(f), approx)
+            add(jax.lax.dot_general(h.astype(ln.dtype), m1,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f))
+        return
     if bits == 4:
         # packed W2 block: lo nibbles hold hidden rows of the LOW half
         # (this j-tile), hi nibbles the HIGH half (j-tile + H/2) —
@@ -381,14 +430,33 @@ def _post_call(x, attn, wo, so, bo, ls1, ls2, norm_scale, norm_bias,
     stacked = w1.ndim == 3
     lidx = layer if stacked else 0
     kp2 = w2.shape[-2]                    # packed hidden rows (H or H/2)
+    kp1 = w1.shape[-2]
+    # K-grouped (Q4_0) scale layouts per weight (io/quant.py group>0);
+    # s2 needs a static kernel flag — its per-tile slab can be one row
+    kgo = so.shape[-2] if so.ndim == wo.ndim else 1
+    kg1 = s1.shape[-2] if s1.ndim == w1.ndim else 1
+    g2 = bits == 4 and s2.ndim == w2.ndim and s2.shape[-2] > 1
+    g1 = kg1 > 1
     # hidden tile: per grid step the int4 path touches a (kp1, nt) W1 tile
     # x2 (lo/hi hidden) and a (nt, dm) packed W2 tile + their f32 unpacks
+    # (grouped scales add two f32 expansions + bf16 dequant tiles each)
+    per = {4: 9, 8: 3, 16: 2}[bits]
+
+    def vmem(nt):
+        return (nt * dm * (21 if g2 else per)
+                + kp1 * nt * (21 if g1 else per))
+
     nt = 512
     span = hidden // 2 if bits == 4 else hidden
+    while nt > 128 and (span % nt or vmem(nt) > 11 * 2**20):
+        nt //= 2
     while span % nt:
         nt //= 2
     nsteps = span // nt
-    kp1 = w1.shape[-2]
+    if g2:
+        group2 = hidden // s2.shape[-2]
+        assert nt % group2 == 0, (nt, group2)
+        ntg2 = nt // group2
     tiled = rows_tile is not None
     rt = rows_tile if tiled else t
     rb = t // rt
@@ -415,12 +483,27 @@ def _post_call(x, attn, wo, so, bo, ls1, ls2, norm_scale, norm_bias,
 
     w1spec = pl.BlockSpec(pre + (kp1, nt), wmap1a, memory_space=pltpu.VMEM)
     w1bspec = pl.BlockSpec(pre + (kp1, nt), wmap1b, memory_space=pltpu.VMEM)
-    s1spec = pl.BlockSpec(pre + (1, nt), wmap1a, memory_space=pltpu.VMEM)
-    s1bspec = pl.BlockSpec(pre + (1, nt), wmap1b, memory_space=pltpu.VMEM)
+    s1spec = pl.BlockSpec(pre + (kg1, nt), wmap1a, memory_space=pltpu.VMEM)
+    s1bspec = pl.BlockSpec(pre + (kg1, nt), wmap1b,
+                           memory_space=pltpu.VMEM)
+    b1aspec = pl.BlockSpec(pre + (1, nt), wmap1a, memory_space=pltpu.VMEM)
+    b1bspec = pl.BlockSpec(pre + (1, nt), wmap1b, memory_space=pltpu.VMEM)
     w2spec = pl.BlockSpec(pre + (nt, dm), wmap2, memory_space=pltpu.VMEM)
     dmspec = pl.BlockSpec(pre + (1, dm), cmap, memory_space=pltpu.VMEM)
+    sospec = pl.BlockSpec(pre + (kgo, dm), cmap, memory_space=pltpu.VMEM)
     wospec = pl.BlockSpec(pre + (wo.shape[-2], dm), cmap,
                           memory_space=pltpu.VMEM)
+    if g2:
+        s2aspec = pl.BlockSpec(pre + (ntg2, dm), wmap2,
+                               memory_space=pltpu.VMEM)
+
+        def wmap2b(j, *r, l=lidx, o=span // nt):
+            return (l, j + o, 0) if stacked else (j + o, 0)
+
+        s2bspec = pl.BlockSpec(pre + (ntg2, dm), wmap2b,
+                               memory_space=pltpu.VMEM)
+    else:
+        s2aspec = s2bspec = dmspec
     if tiled:
         row = pl.BlockSpec((1, dm), lambda j, r: (0, 0),
                            memory_space=pltpu.VMEM)
@@ -446,25 +529,30 @@ def _post_call(x, attn, wo, so, bo, ls1, ls2, norm_scale, norm_bias,
                    pltpu.VMEM((t, dm), x.dtype),
                    pltpu.VMEM((t, dm), jnp.float32)]
 
-    def r2(a, n):
-        return (a.reshape(-1, 1, n) if stacked else a.reshape(1, n))
+    def r2(a, n, kg=1):
+        return (a.reshape(-1, kg, n) if stacked else a.reshape(kg, n))
 
-    operands = [x, attn, wo, r2(so.astype(jnp.float32), dm), r2(bo, dm),
+    f32 = jnp.float32
+    s2r = r2(s2.astype(f32), dm, s2.shape[-2] if g2 else 1)
+    operands = [x, attn, wo, r2(so.astype(f32), dm, kgo), r2(bo, dm),
                 ls1.reshape(1, dm), ls2.reshape(1, dm),
                 norm_scale.reshape(1, dm), norm_bias.reshape(1, dm),
-                w1, r2(s1.astype(jnp.float32), hidden), r2(b1, hidden),
-                w1, r2(s1.astype(jnp.float32), hidden), r2(b1, hidden),
-                w2, r2(s2.astype(jnp.float32), dm), r2(b2, dm)]
-    in_specs = [xspec, xspec, wospec, dmspec, dmspec, row, row, row, row,
-                w1spec, s1spec, s1spec, w1bspec, s1bspec, s1bspec,
-                w2spec, dmspec, dmspec]
+                w1, r2(s1.astype(f32), hidden, kg1), r2(b1, hidden),
+                w1, r2(s1.astype(f32), hidden, kg1), r2(b1, hidden),
+                w2, s2r, s2r, r2(b2, dm)]
+    in_specs = [xspec, xspec, wospec, sospec, dmspec, row, row, row, row,
+                w1spec, s1spec, b1aspec, w1bspec, s1bspec, b1bspec,
+                w2spec, s2aspec, s2bspec, dmspec]
     kernel = functools.partial(base_kernel, bits=bits, eps=eps,
-                               approx=approx, nsteps=nsteps)
+                               approx=approx, nsteps=nsteps, g2=g2)
     if bits != 4:
-        # int8: one hidden tile per step — drop the second W1 pass
+        # int8: one hidden tile per step — drop the second W1 pass (and
+        # the duplicate s2 slab, which only grouped int4 reads)
         kernel = _drop_b(kernel)
-        operands = operands[:12] + operands[15:]
-        in_specs = in_specs[:12] + in_specs[15:]
+        operands = operands[:12] + [operands[15], operands[16],
+                                    operands[18]]
+        in_specs = in_specs[:12] + [in_specs[15], in_specs[16],
+                                    in_specs[18]]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -483,8 +571,8 @@ def _drop_b(kernel):
                 b2_ref, o_ref, x1_s, ln_s, acc_s):
         return kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref,
                       ls2_ref, ns_ref, nb_ref, w1_ref, s1_ref, b1_ref,
-                      None, None, None, w2_ref, s2_ref, b2_ref, o_ref,
-                      x1_s, ln_s, acc_s)
+                      None, None, None, w2_ref, s2_ref, None, b2_ref,
+                      o_ref, x1_s, ln_s, acc_s)
     return wrapped
 
 
@@ -496,15 +584,12 @@ def _qw(p):
     """(w, scale, bias, bits) from a linear param dict. bits=16 is the
     plain bf16/f32 weight (kernel path identical to int8 with unit scales
     — the cast is a no-op and the fusion win is dispatch count, not
-    bytes); 0 = unsupported layout."""
+    bytes); 0 = unsupported layout. K-grouped int4 scales (io/quant.py
+    group>0, scale.ndim == q4.ndim) pass through — the kernels detect the
+    layout from the scale block shape and dequantize in place."""
     if "q" in p:
         return p["q"], p["scale"], p.get("b"), 8
     if "q4" in p:
-        if p["scale"].ndim == p["q4"].ndim:
-            # K-grouped scales (io/quant.py group>0): the fused kernels
-            # assume a per-output scale row — fall back to the separate
-            # grouped dequant-matmul kernel (quant_matmul)
-            return None, None, None, 0
         return p["q4"], p["scale"], p.get("b"), 4
     if "w" in p:
         return p["w"], None, p.get("b"), 16
@@ -532,10 +617,18 @@ def _deq_full(w, bits, dtype):
 
 def _xla_linear(x, w, s, b, layer, bits):
     """XLA mirror of _deq_dot (+bias): (x @ deq(w[l])) * s + b -> f32.
-    w: (L, Kp, N) or (Kp, N); s/b: (L, N) or (N,) matching w's stacking."""
+    w: (L, Kp, N) or (Kp, N); s/b: (L, N) or (N,) matching w's stacking —
+    or K-grouped s (L, KG, N)/(KG, N), dequantized on the weight side."""
     f = jnp.float32
     if w.ndim == 3:
         w, s, b = w[layer], s[layer], b[layer]
+    if bits == 4 and s.ndim == 2 and s.shape[0] > 1:
+        wd = unpack_int4(w, f)
+        g = wd.shape[0] // s.shape[0]
+        wd = (wd * jnp.repeat(s.astype(f), g, axis=0)).astype(x.dtype)
+        acc = jax.lax.dot_general(x, wd, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f)
+        return acc + b.reshape(1, -1).astype(f)
     acc = jax.lax.dot_general(x, _deq_full(w, bits, x.dtype),
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=f)
@@ -642,9 +735,15 @@ def _make_post(layer, bits, eps, approx, interpret):
     return fn
 
 
+def grouped_scales(p) -> bool:
+    """True when a linear param dict carries K-grouped (Q4_0) scales."""
+    return "q4" in p and p["scale"].ndim == p["q4"].ndim
+
+
 def supported(p) -> bool:
     """True when every linear of the layer carries the same QUANTIZED
-    layout. bf16 weights are deliberately excluded from auto-dispatch:
+    layout (per-channel or K-grouped scales, detected per weight).
+    bf16 weights are deliberately excluded from auto-dispatch:
     measured on v5e, the fused bf16 path ran B=1 at 1622 f/s vs 3411
     unfused — the Mosaic calls serialize the ~150 MB/frame weight stream
     that XLA's cross-op alternate-memory prefetcher pipelines (the

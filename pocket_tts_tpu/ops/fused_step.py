@@ -580,8 +580,12 @@ def _make_megalayer(layer, bits, kvq, block_size, eps, approx, interpret):
 
 
 def supported(p) -> bool:
+    # K-grouped (Q4_0) scales: handled by the fused layer kernels but not
+    # by this megakernel's in-step dequant — keep it off there
     from . import fused_layer
-    return fused_layer.supported(p)
+    return fused_layer.supported(p) and not any(
+        fused_layer.grouped_scales(p[k])
+        for k in ("in_proj", "out_proj", "linear1", "linear2"))
 
 
 def megalayer(p, x, cos, sin, cur_pos, k_cache, v_cache, pos_vec, read_end,

@@ -244,34 +244,49 @@ def _int4_kernel(x_ref, w_ref, s_ref, o_ref):
     o_ref[...] = (acc * s).astype(o_ref.dtype)
 
 
-def _int4_grouped_kernel(x_ref, w_ref, s_ref, o_ref):
-    """K-grouped-scale int4 (io/quant.py group>0, the Q4_0-granularity
-    layout): scales no longer factor out of the dot, so the nibbles are
-    dequantized to input-dtype weight tiles in-kernel. The (KG, nt) scale
-    block expands to per-row scales via one constant 0/1 matmul per half
-    (R[i, j] = i//group == j — ~1/group of a full dot's MACs); the bf16
-    cast of the dequantized tile adds ~2^-8 relative rounding on top of
-    the int4 step (amax/8), i.e. negligible."""
+def _expand_grouped_scale(s, kh):
+    """(rows_per_group-expanded lo, hi) scale tiles from a (2*ng, nt) f32
+    grouped-scale block covering kh packed rows: one constant 0/1 matmul
+    per half (R[i, j] = i//group == j — ~1/group of a full dot's MACs)."""
     f = jnp.float32
-    w4 = w_ref[...] if w_ref.ndim == 2 else w_ref[0]
-    s = (s_ref[...] if s_ref.ndim == 2 else s_ref[0]).astype(f)
-    kh = w4.shape[0]
     ng = s.shape[0] // 2                  # scale rows per packed half
     group = kh // ng
-    dt = x_ref.dtype
-    b32 = w4.astype(f)
-    hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
-    lo32 = b32 - 16.0 * hi32 - 8.0
     ri = jax.lax.broadcasted_iota(jnp.int32, (kh, ng), 0)
     rj = jax.lax.broadcasted_iota(jnp.int32, (kh, ng), 1)
     r01 = (ri // group == rj).astype(f)
     exp_l = jnp.dot(r01, s[:ng], preferred_element_type=f)    # (kh, nt)
     exp_h = jnp.dot(r01, s[ng:], preferred_element_type=f)
-    acc = jnp.dot(x_ref[:, :kh], (lo32 * exp_l).astype(dt),
+    return exp_l, exp_h
+
+
+def grouped_int4_acc(x_lo, x_hi, w4, s):
+    """acc (T, nt) f32 of K-grouped-scale int4 (io/quant.py group>0, the
+    Q4_0-granularity layout): scales no longer factor out of the dot, so
+    the nibbles are dequantized to input-dtype weight tiles in place. The
+    scale block expands to per-row scales via _expand_grouped_scale; the
+    bf16 cast of the dequantized tile adds ~2^-8 relative rounding on top
+    of the int4 step (amax/8), i.e. negligible. Scales arrive APPLIED —
+    callers must not multiply the accumulator again."""
+    f = jnp.float32
+    kh = w4.shape[0]
+    dt = x_lo.dtype
+    b32 = w4.astype(f)
+    hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
+    lo32 = b32 - 16.0 * hi32 - 8.0
+    exp_l, exp_h = _expand_grouped_scale(s.astype(f), kh)
+    acc = jnp.dot(x_lo, (lo32 * exp_l).astype(dt),
                   preferred_element_type=f)
-    acc += jnp.dot(x_ref[:, kh:], (hi32 * exp_h).astype(dt),
+    acc += jnp.dot(x_hi, (hi32 * exp_h).astype(dt),
                    preferred_element_type=f)
-    o_ref[...] = acc.astype(o_ref.dtype)
+    return acc
+
+
+def _int4_grouped_kernel(x_ref, w_ref, s_ref, o_ref):
+    w4 = w_ref[...] if w_ref.ndim == 2 else w_ref[0]
+    s = s_ref[...] if s_ref.ndim == 2 else s_ref[0]
+    kh = w4.shape[0]
+    o_ref[...] = grouped_int4_acc(x_ref[:, :kh], x_ref[:, kh:], w4,
+                                  s).astype(o_ref.dtype)
 
 
 def int4_matmul_pallas(x, q4, scale, layer=None, interpret: bool = False):
