@@ -304,71 +304,86 @@ def main():
     from pocket_tts_tpu.runtime.engine import TTSEngine
     from pocket_tts_tpu.runtime.server import ContinuousBatchingServer
     eng = TTSEngine(params=params_q4, cfg=cfg_srv, dtype=dtype, tokenizer=tok)
-    # prefix+ring KV (r3): capacity = 160 prefix (128 prompt + 32 text
-    # bucket) + 256-frame ring, the snuggest buckets that admit this
-    # workload's longest sentence; the full-cache read per frame beats the
-    # linear-cursor design's drifting partial reads (and needs no
-    # compaction pauses). 32 lanes, not 64: measured fully-captured 64-lane
-    # windows reach only ~37-38k (admission prefills eat the in-chunk
-    # advantage) at ~2x the p50 service TTFA — not worth it.
-    srv = ContinuousBatchingServer(eng, lanes=32, chunk_frames=5,
-                                   capacity=416, text_bucket=32)
-    srv.register_voices(
-        {"v": np.asarray(random_voice_prompt(cfg, 120), np.float32)})
     texts = [
         "This is a short request.",
         "A medium length sentence with several more words in it.",
         "This considerably longer sentence keeps the decoder busy for many "
         "more frames than the short ones do.",
     ]
-    rr = [0]
 
-    def offer():
-        # sustained offered load: keep half a batch queued
-        while len(srv._queue) < srv.lanes // 2:
-            srv.submit(texts[rr[0] % 3], "v")
-            rr[0] += 1
+    def measure_continuous(lanes, win_chunks, n_win):
+        """Steady-state continuous-batching capacity at `lanes`.
 
-    # The profiler drops device events from long traces through this
-    # environment's TPU tunnel (a 40-chunk trace undercounted device time
-    # ~3.5x in r3), and even short traces occasionally lose a chunk. So:
-    # trace MANY short windows and keep only windows whose captured
-    # continuous_decode_chunk count matches the chunks actually dispatched
-    # — the sum over accepted windows is loss-free by construction.
-    n_win, win_chunks = 12, 4
-    emitted = [0]
+        prefix+ring KV (r3): capacity = 160 prefix (128 prompt + 32 text
+        bucket) + 256-frame ring, the snuggest buckets that admit this
+        workload's longest sentence; the full-cache read per frame beats
+        the linear-cursor design's drifting partial reads (and needs no
+        compaction pauses).
 
-    def run_win():
-        for _ in range(win_chunks):
-            offer()
-            emitted[0] += srv.step()
-        return (jnp.zeros(()),)
+        The profiler drops device events from long traces through this
+        environment's TPU tunnel (a 40-chunk trace undercounted device
+        time ~3.5x in r3), and even short traces occasionally lose a
+        chunk. So: trace MANY short windows and keep only windows whose
+        captured continuous_decode_chunk count matches the chunks
+        actually dispatched — the sum over accepted windows is loss-free
+        by construction. 64-lane traces lose events faster (r3 could not
+        report 64 lanes at all), hence the caller passes shorter windows
+        there."""
+        srv = ContinuousBatchingServer(eng, lanes=lanes, chunk_frames=5,
+                                       capacity=416, text_bucket=32)
+        srv.register_voices(
+            {"v": np.asarray(random_voice_prompt(cfg, 120), np.float32)})
+        rr = [0]
 
-    # warm to steady-state occupancy AND compile every program
-    # (admission-group buckets) before the traced windows
-    for _ in range(20):
-        run_win()
-    chunk_ms, prefill_ms = [], []
-    srv_frames, total_ms, accepted = 0, 0.0, 0
-    for _ in range(n_win):
-        emitted[0] = 0
-        events, _ = trace_jit_events(run_win, fetch)
-        w_chunk = [d for n, d in events if "continuous_decode_chunk" in n]
-        if len(w_chunk) != win_chunks:
-            continue  # profiler dropped events: discard the whole window
-        accepted += 1
-        chunk_ms += w_chunk
-        prefill_ms += [d for n, d in events if "sentence_prefill" in n]
-        total_ms += sum(d for _, d in events)
-        srv_frames += emitted[0]
-    occupancy = (srv_frames
-                 / (accepted * win_chunks * srv.chunk_frames * srv.lanes)
-                 if accepted else float("nan"))
-    fps_continuous = (srv_frames / (total_ms / 1e3)
-                      if total_ms > 0 and accepted >= n_win // 2
-                      else float("nan"))
-    cms = np.mean(chunk_ms) if chunk_ms else float("nan")
-    pms = np.mean(prefill_ms) if prefill_ms else 0.0
+        def offer():
+            # sustained offered load: keep half a batch queued
+            while len(srv._queue) < srv.lanes // 2:
+                srv.submit(texts[rr[0] % 3], "v")
+                rr[0] += 1
+
+        emitted = [0]
+
+        def run_win():
+            for _ in range(win_chunks):
+                offer()
+                emitted[0] += srv.step()
+            return (jnp.zeros(()),)
+
+        # warm to steady-state occupancy AND compile every program
+        # (admission-group buckets) before the traced windows
+        for _ in range(max(20, 80 // win_chunks)):
+            run_win()
+        chunk_ms, prefill_ms = [], []
+        srv_frames, total_ms, accepted = 0, 0.0, 0
+        for _ in range(n_win):
+            emitted[0] = 0
+            events, _ = trace_jit_events(run_win, fetch)
+            w_chunk = [d for n, d in events
+                       if "continuous_decode_chunk" in n]
+            if len(w_chunk) != win_chunks:
+                continue  # profiler dropped events: discard the window
+            accepted += 1
+            chunk_ms += w_chunk
+            prefill_ms += [d for n, d in events if "sentence_prefill" in n]
+            total_ms += sum(d for _, d in events)
+            srv_frames += emitted[0]
+        occupancy = (srv_frames
+                     / (accepted * win_chunks * srv.chunk_frames * lanes)
+                     if accepted else float("nan"))
+        fps = (srv_frames / (total_ms / 1e3)
+               if total_ms > 0 and accepted >= n_win // 2
+               else float("nan"))
+        cms = float(np.mean(chunk_ms)) if chunk_ms else float("nan")
+        pms = float(np.mean(prefill_ms)) if prefill_ms else 0.0
+        decode_frac = sum(chunk_ms) / total_ms if total_ms else None
+        return dict(srv=srv, fps=fps, occupancy=occupancy, cms=cms,
+                    pms=pms, accepted=accepted, chunks=len(chunk_ms),
+                    decode_frac=decode_frac)
+
+    res32 = measure_continuous(lanes=32, win_chunks=4, n_win=12)
+    srv, fps_continuous = res32["srv"], res32["fps"]
+    cms, pms = res32["cms"], res32["pms"]
+    occupancy, accepted = res32["occupancy"], res32["accepted"]
     done = srv.completed
     # service TTFA: admission -> first audio. Submit-to-audio latency is
     # queue-dominated by construction here (the workload deliberately
@@ -380,6 +395,43 @@ def main():
 
     def pct(xs, p):
         return xs[min(len(xs) - 1, int(p * len(xs)))] if xs else float("nan")
+
+    # --- open-loop Poisson arrivals at ~0.8x measured capacity (VERDICT
+    # r3 #4): the closed loop above saturates every lane, so its latency
+    # distribution is degenerate (p50 == p95) and says nothing about
+    # queue wait. Here requests arrive on a DEVICE-TIME axis ticking one
+    # chunk period (cms) per scheduler step — idle ticks advance time
+    # without decoding — and TTFA is measured from the Poisson ARRIVAL
+    # time, so queue-wait variance is in the percentiles. Prefill device
+    # time of co-admitted requests (~8% of chunk time) is not modeled on
+    # the axis; each request's own prefill is added to its TTFA.
+    srv.run_pending()  # drain the capacity phase
+    frame_size = eng.frame_size
+    fpr = (float(np.mean([r.pcm.size / frame_size for r in done]))
+           if done else 140.0)
+    lam = 0.8 * fps_continuous * (cms / 1e3) / fpr  # requests/chunk-tick
+    rs = np.random.RandomState(7)
+    n_req = 128
+    arrivals = np.cumsum(rs.exponential(1.0 / lam, size=n_req))
+    pending = {}
+    ttfa_open = []
+    tick, i = 0, 0
+    while (i < n_req or pending) and tick < arrivals[-1] + 600:
+        while i < n_req and arrivals[i] <= tick:
+            req = srv.submit(texts[i % len(texts)], "v")
+            pending[id(req)] = (req, arrivals[i])
+            i += 1
+        srv.step()
+        tick += 1
+        for key in list(pending):
+            req, t_arr = pending[key]
+            if req.first_audio_step is not None:
+                ttfa_open.append((tick - t_arr) * cms + pms)
+                del pending[key]
+    ttfa_open.sort()
+
+    # --- 64-lane continuous capacity, now reportable via short windows
+    res64 = measure_continuous(lanes=64, win_chunks=2, n_win=16)
 
     def finite(x):
         # json.dumps emits bare NaN/Infinity, which strict JSON parsers
@@ -409,13 +461,22 @@ def main():
         "ttfa_light_ms": round(float(pms + cms), 2),
         "serving_requests": len(done),
         "serving_lanes": srv.lanes,
-        "serving_chunks": len(chunk_ms),
+        "serving_chunks": res32["chunks"],
         "serving_windows_accepted": accepted,
         "serving_compactions": srv.compactions,
         "serving_chunk_ms": round(float(cms), 3),
         "serving_prefill_ms": round(float(pms), 3),
-        "serving_decode_frac": round(sum(chunk_ms) / total_ms, 3)
-        if total_ms else None,
+        "serving_decode_frac": round(res32["decode_frac"], 3)
+        if res32["decode_frac"] is not None else None,
+        "serving_continuous_fps_64": round(res64["fps"], 2)
+        if res64["fps"] == res64["fps"] else None,
+        "serving_occupancy_64": round(res64["occupancy"], 3),
+        "serving_windows_accepted_64": res64["accepted"],
+        "p50_open_ttfa_ms": round(pct(ttfa_open, 0.50), 2),
+        "p95_open_ttfa_ms": round(pct(ttfa_open, 0.95), 2),
+        "p99_open_ttfa_ms": round(pct(ttfa_open, 0.99), 2),
+        "open_loop_requests_done": len(ttfa_open),
+        "open_loop_offered_load": 0.8,
         "hbm_bw_util": round(hbm_bw_util, 3),
         "mfu": round(mfu, 4),
         "hbm_bw_util_batch32": round(bw_util_batch, 3),
