@@ -35,6 +35,11 @@ def build_parser():
                    help="output audio path (.wav/.flac native; "
                         ".mp3/.ogg via ffmpeg when available)")
     p.add_argument("-i", "--input", default=None, help="input text file")
+    p.add_argument("--out-rate", type=int, default=None, metavar="HZ",
+                   help="resample output audio to this rate before "
+                        "encoding (native polyphase resampler; the "
+                        "reference resamples into its encoder the same "
+                        "way, demos/ffmpeg_helpers.h:135)")
     p.add_argument("-s", "--seed", type=int, default=None)
     p.add_argument("-t", "--temperature", type=float, default=None)
     p.add_argument("--bench", action="store_true",
@@ -341,7 +346,12 @@ def main(argv=None):
                               "value": round(fps, 2), "unit": "frames/s",
                               "batch": args.batch}))
         if args.output:
-            save_audio(args.output, pcms[0], engine.sample_rate)
+            pcm0, rate = pcms[0], engine.sample_rate
+            if args.out_rate and args.out_rate != rate:
+                from .io.audio_in import resample
+                pcm0, rate = resample(pcm0, rate, args.out_rate), \
+                    args.out_rate
+            save_audio(args.output, pcm0, rate)
         return 0
 
     stream = engine.open_stream(voice, temp)
@@ -351,8 +361,13 @@ def main(argv=None):
         player = AudioPlayer(engine.sample_rate,
                              frame_size=engine.frame_size)
     meter = FrameMeter(engine.cfg.mimi.frame_rate)
-    writer = (StreamingEncoder(args.output, engine.sample_rate)
+    out_rate = args.out_rate or engine.sample_rate
+    writer = (StreamingEncoder(args.output, out_rate)
               if args.output else None)
+    out_rs = None
+    if writer is not None and out_rate != engine.sample_rate:
+        from .io.audio_in import StreamingResampler
+        out_rs = StreamingResampler(engine.sample_rate, out_rate)
     trace_cm = device_trace(args.profile) if args.profile \
         else contextlib.nullcontext()
 
@@ -367,7 +382,8 @@ def main(argv=None):
                 break
             n += 1
             if writer is not None:
-                writer.write(frame)
+                writer.write(out_rs.process(frame)
+                             if out_rs is not None else frame)
             if player is not None:
                 player.play(frame)
         return n
@@ -398,6 +414,8 @@ def main(argv=None):
     if player is not None:
         player.close()
     if writer is not None:
+        if out_rs is not None:
+            writer.write(out_rs.flush())
         writer.close()
         print(f"wrote {args.output}: "
               f"{frames * engine.frame_size / engine.sample_rate:.2f}s")
