@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_layer import _qw  # shared quantized-layout probe
-from .quant_matmul import _int4_dots
+from .quant_matmul import _int4_dots, grouped_int4_acc
 
 
 def _silu32(x):
@@ -44,17 +44,23 @@ def _ln32(x32, scale, bias, eps):
 
 
 def _deq_dot(x32, w_ref, s_ref, b_ref, bits, dt, idx=None):
-    """x (B, K) f32 @ dequant(w[idx]) * scale + bias -> (B, N) f32."""
+    """x (B, K) f32 @ dequant(w[idx]) * scale + bias -> (B, N) f32.
+
+    A multi-row scale block ((KG, N), io/quant.py group>0) routes through
+    quant_matmul.grouped_int4_acc — block-diagonal raw-byte partials at
+    B==1, in-place dequant at batch — with the scales applied inside."""
     w = w_ref[idx] if idx is not None else w_ref[...]
     s = (s_ref[idx] if idx is not None else s_ref[...]).astype(jnp.float32)
     xb = x32.astype(dt)
     if bits == 4:
         kh = w.shape[0]
-        acc = _int4_dots(xb[:, :kh], xb[:, kh:], w)
+        if s.shape[0] > 1:
+            acc = grouped_int4_acc(xb[:, :kh], xb[:, kh:], w, s)
+        else:
+            acc = _int4_dots(xb[:, :kh], xb[:, kh:], w) * s
     else:
         acc = jax.lax.dot_general(xb, w.astype(dt), (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-    acc = acc * s
+                                  preferred_element_type=jnp.float32) * s
     if b_ref is not None:
         b = (b_ref[idx] if idx is not None else b_ref[...])
         acc = acc + b.astype(jnp.float32)
@@ -100,17 +106,14 @@ def supported(p) -> bool:
     final adaln) must share one quantized layout; the tiny latent-facing
     projections (input_proj, final linear — a few KB) may stay plain
     weights (they fall under the quantization size floor)."""
-    from .fused_layer import grouped_scales
     big = [p["cond_embed"], p["res_blocks"]["adaln"],
            p["res_blocks"]["mlp_0"], p["res_blocks"]["mlp_2"],
            p["final"]["adaln"]]
     small = (p["input_proj"], p["final"]["linear"])
     bits = {_qw(m)[3] for m in big}
     small_ok = all(_qw(m)[3] in (4, 8, 16) for m in small)
-    # K-grouped (Q4_0) scales: this kernel folds scales per output
-    # channel — grouped layouts route to quant_matmul's grouped kernel
-    if any(grouped_scales(m) for m in list(big) + list(small)):
-        return False
+    # K-grouped (Q4_0) scales are handled in-kernel (int4 only — see
+    # io/quant._quantize_weight: grouping never applies to int8)
     return len(bits) == 1 and bits.issubset({4, 8}) and small_ok
 
 
@@ -127,7 +130,8 @@ def _prep(p):
         if b is None:
             b = jnp.zeros(((w.shape[0], n) if stacked else (n,)),
                           jnp.bfloat16)
-        s2 = (s.reshape(-1, 1, n) if stacked else s.reshape(1, n))
+        kg = s.shape[-2] if s.ndim == w.ndim else 1  # K-grouped rows
+        s2 = (s.reshape(-1, kg, n) if stacked else s.reshape(kg, n))
         b2 = (b.reshape(-1, 1, n) if stacked else b.reshape(1, n))
         return w, s2.astype(jnp.float32), b2, bits
 

@@ -27,6 +27,7 @@ unfused path's numerics to rounding.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,15 @@ from .quant_matmul import _int4_dots, grouped_int4_acc, unpack_int4
 # so the weight stream is still read once. Off-TPU (and un-interpreted)
 # the rules fall back to an XLA composition of the same math.
 MAX_FUSED_ROWS = 64
+
+# perf-tuning knobs (read once at import): the post kernel's starting
+# hidden-tile width and its VMEM budget for the tile-shrink loop. nt=512
+# under an 11 MB budget measured best on v5e at B=1 int4 (nt=1024 needs
+# ~13.6 MB of dequant temporaries and was NOT faster — the 2-step grid
+# pipelines as well as the 4-step one).
+_POST_NT = int(os.environ.get("POCKET_TTS_POST_NT", "512"))
+_POST_VMEM = int(float(os.environ.get("POCKET_TTS_POST_VMEM_MB", "11"))
+                 * 2**20)
 
 
 def _ln_f32(x_ref, scale_ref, bias_ref, eps):
@@ -143,10 +153,14 @@ def _pre_call(x, norm_scale, norm_bias, w, scale, bias, layer, bits,
 
     # output tile: the dequant temporaries (2 x (kp, nt) f32 unpack for
     # int4 — plus two more f32 expanded-scale tiles and two bf16 dequant
-    # tiles when scales are K-grouped; a (kp, nt) bf16 cast for int8;
+    # tiles when scales are K-grouped AND batched; the T==1 grouped path
+    # is block-diagonal (no expansion/dequant tiles, see
+    # quant_matmul._grouped_bd_acc); a (kp, nt) bf16 cast for int8;
     # none for bf16) cap usable VMEM
+    g_batched = kg > 1 and (t > 1 or x.dtype != jnp.bfloat16)
     def vmem(nt):
-        per_byte = {4: 21 if kg > 1 else 9, 8: 3, 16: 2}[bits]
+        per_byte = {4: 21 if g_batched else 10 if kg > 1 else 9,
+                    8: 3, 16: 2}[bits]
         return kp * nt * per_byte
 
     nt = n
@@ -315,31 +329,25 @@ def _mlp_add(add, ln, w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref, b1b_ref,
     fold (per-channel mode never reads s2a/s2b in this function)."""
     f = jnp.float32
     if bits == 4 and g2:
-        # Q4_0-granularity W2: dequantize this tile's lo/hi halves with
-        # their grouped scale slabs (constant 0/1-matmul expansion like
-        # quant_matmul.grouped_int4_acc), then one bf16 dot per half
+        # Q4_0-granularity W2: compute BOTH gelu halves, then one
+        # grouped accumulator over the packed tile — at 1 row that's the
+        # block-diagonal raw-byte scheme (no unpack, 2 MXU passes, the
+        # rawf32 analog for grouped scales); batched rows dequantize via
+        # the constant 0/1-matmul scale expansion. Both live in
+        # quant_matmul.grouped_int4_acc (scales applied inside).
         w2p = w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...]
-        rows = w2p.shape[0]
-        b32 = w2p.astype(f)
-        hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
-        lo32 = b32 - 16.0 * hi32 - 8.0
         s2a = (s2a_ref[0] if s2a_ref.ndim == 3 else s2a_ref[...]).astype(f)
         s2b = (s2b_ref[0] if s2b_ref.ndim == 3 else s2b_ref[...]).astype(f)
-        group = rows // s2a.shape[0]
-        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, s2a.shape[0]), 0)
-        rj = jax.lax.broadcasted_iota(jnp.int32, (rows, s2a.shape[0]), 1)
-        r01 = (ri // group == rj).astype(f)
-        exp_a = jnp.dot(r01, s2a, preferred_element_type=f)
-        exp_b = jnp.dot(r01, s2b, preferred_element_type=f)
-        for w1_ref, s1_ref, b1_ref, m1 in (
-                (w1a_ref, s1a_ref, b1a_ref, (lo32 * exp_a).astype(ln.dtype)),
-                (w1b_ref, s1b_ref, b1b_ref, (hi32 * exp_b).astype(ln.dtype))):
+        hs = []
+        for w1_ref, s1_ref, b1_ref in ((w1a_ref, s1a_ref, b1a_ref),
+                                       (w1b_ref, s1b_ref, b1b_ref)):
             h = _deq_dot(ln, w1_ref, s1_ref, bits)
             b1 = b1_ref[0] if b1_ref.ndim == 3 else b1_ref[...]
-            h = _gelu_f32(h + b1.astype(f), approx)
-            add(jax.lax.dot_general(h.astype(ln.dtype), m1,
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=f))
+            hs.append(_gelu_f32(h + b1.astype(f), approx))
+        ha, hb = (hs[0].astype(ln.dtype), hs[1].astype(ln.dtype)) \
+            if ln.shape[0] > 1 else hs
+        add(grouped_int4_acc(ha, hb, w2p,
+                             jnp.concatenate([s2a, s2b], axis=0)))
         return
     if bits == 4:
         # packed W2 block: lo nibbles hold hidden rows of the LOW half
@@ -439,16 +447,18 @@ def _post_call(x, attn, wo, so, bo, ls1, ls2, norm_scale, norm_bias,
     g1 = kg1 > 1
     # hidden tile: per grid step the int4 path touches a (kp1, nt) W1 tile
     # x2 (lo/hi hidden) and a (nt, dm) packed W2 tile + their f32 unpacks
-    # (grouped scales add two f32 expansions + bf16 dequant tiles each)
+    # (BATCHED grouped scales add two f32 expansions + bf16 dequant tiles
+    # each; the T==1 grouped path is block-diagonal, no such tiles)
     per = {4: 9, 8: 3, 16: 2}[bits]
+    gper = 21 if (t > 1 or x.dtype != jnp.bfloat16) else 10
 
     def vmem(nt):
-        return (nt * dm * (21 if g2 else per)
-                + kp1 * nt * (21 if g1 else per))
+        return (nt * dm * (gper if g2 else per)
+                + kp1 * nt * (gper if g1 else per))
 
-    nt = 512
+    nt = _POST_NT
     span = hidden // 2 if bits == 4 else hidden
-    while nt > 128 and (span % nt or vmem(nt) > 11 * 2**20):
+    while nt > 128 and (span % nt or vmem(nt) > _POST_VMEM):
         nt //= 2
     while span % nt:
         nt //= 2

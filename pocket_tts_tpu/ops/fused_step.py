@@ -260,23 +260,33 @@ def _megalayer_kernel(ends_ref, cpos_ref, *refs, h, d, nb, nh, bits, kvq,
     def _():
         ln2 = ln2_s[...]
         if bits == 4:
+            # rawf32m W2 (always T==1 here): both gelu halves first, then
+            # merged f32 dots over the raw packed block — no per-byte
+            # unpack (see quant_matmul.INT4_SCHEME; the unpack variant
+            # was ~1/3 of the fused post kernel's time)
             w2p = w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...]
             b32 = w2p.astype(f)
             hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
-            w2hi = hi32.astype(ln2.dtype)
-            lo = (b32 - 16.0 * hi32 - 8.0).astype(ln2.dtype)
-            halves = ((w1_ref, s1_ref, b1_ref, lo),
-                      (w1b_ref, s1b_ref, b1b_ref, w2hi))
+            hs = []
+            for w1r, s1r, b1r in ((w1_ref, s1_ref, b1_ref),
+                                  (w1b_ref, s1b_ref, b1b_ref)):
+                hh = _deq_dot(ln2, w1r, s1r, bits)
+                hs.append(_gelu_f32(hh + b1r[...].astype(f), approx))
+            ha, hb = hs
+            acc = jax.lax.dot_general(ha, b32, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=f)
+            acc += jax.lax.dot_general(hb - 16.0 * ha, hi32,
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=f)
+            acc -= 8.0 * jnp.sum(ha, axis=-1, keepdims=True)
+            mlp_s[...] = mlp_s[...] + acc
         else:
             w2 = w2_ref[0] if w2_ref.ndim == 3 else w2_ref[...]
-            halves = ((w1_ref, s1_ref, b1_ref, w2.astype(ln2.dtype)),)
-        for w1r, s1r, b1r, m1 in halves:
-            hh = _deq_dot(ln2, w1r, s1r, bits)
-            b1 = b1r[...]
-            hh = _gelu_f32(hh + b1.astype(f), approx)
-            hb = hh.astype(ln2.dtype)
+            hh = _deq_dot(ln2, w1_ref, s1_ref, bits)
+            hh = _gelu_f32(hh + b1_ref[...].astype(f), approx)
             mlp_s[...] = mlp_s[...] + jax.lax.dot_general(
-                hb, m1, (((1,), (0,)), ((), ())), preferred_element_type=f)
+                hh.astype(ln2.dtype), w2.astype(ln2.dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=f)
 
     @pl.when(step == total - 1)
     def _():

@@ -31,18 +31,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _n_tile(n: int, k: int, bits: int, grouped: bool = False) -> int:
+def _n_tile(n: int, k: int, bits: int, grouped: bool = False,
+            bd: bool = False) -> int:
     """Output-tile width: as large as VMEM allows — per-grid-step overhead
     (~0.3-0.8 us) dominates below ~1 MB blocks, and a serving frame issues
     ~50 kernel calls. Budget: weight block + the int4 unpack's two f32
     (K/2, nt) intermediates must stay well under the 16 MB scoped limit.
-    K-grouped scales materialize two more (K/2, nt) f32 expansions."""
+    K-grouped scales materialize two more (K/2, nt) f32 expansions —
+    EXCEPT on the T==1 block-diagonal path (bd), which skips the
+    expansion and dequant tiles entirely (only small (ng, nt) partials)."""
     for t in (4096, 3072, 2048, 1024, 512, 256, 128):
         if n % t:
             continue
         if bits == 4:
             vmem = k // 2 * t + 2 * (k // 2) * t * 4 + k * t * 4
-            if grouped:
+            if grouped and not bd:
                 vmem += 2 * (k // 2) * t * 4
         else:
             vmem = k * t + k * t * 4
@@ -259,16 +262,62 @@ def _expand_grouped_scale(s, kh):
     return exp_l, exp_h
 
 
-def grouped_int4_acc(x_lo, x_hi, w4, s):
-    """acc (T, nt) f32 of K-grouped-scale int4 (io/quant.py group>0, the
-    Q4_0-granularity layout): scales no longer factor out of the dot, so
-    the nibbles are dequantized to input-dtype weight tiles in place. The
-    scale block expands to per-row scales via _expand_grouped_scale; the
-    bf16 cast of the dequantized tile adds ~2^-8 relative rounding on top
-    of the int4 step (amax/8), i.e. negligible. Scales arrive APPLIED —
-    callers must not multiply the accumulator again."""
+def _grouped_bd_acc(x_lo, x_hi, w4, s):
+    """T==1 K-grouped int4 WITHOUT the nibble unpack: the rawf32 analog
+    for grouped scales. The activation row expands into group-masked
+    BLOCK-DIAGONAL rows Xbd[g, r] = x[r]*[r in group g] (a tiny (ng, kh)
+    tile, independent of nt), so ONE f32 MXU pass over the raw byte
+    block yields per-group partials and one more over the hi nibbles
+    yields both corrections — exactly rawf32's 2 passes + floor, with
+    the scales applied in f32 on (ng, nt) partials afterwards (~6 VPU
+    ops x ng*nt, vs the dequant path's ~9 per packed WEIGHT byte).
+    Measured B=1 q4_0: 3382 f/s dequant-in-kernel -> see CLAUDE.md r4."""
     f = jnp.float32
     kh = w4.shape[0]
+    ng = s.shape[0] // 2                  # scale rows per packed half
+    group = kh // ng
+    xl = x_lo.astype(f)
+    xh = x_hi.astype(f)
+    b32 = w4.astype(f)
+    hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ng, kh), 0)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (ng, kh), 1)
+    mask = (ri // group == gi).astype(f)
+    xl_bd = mask * xl                     # (ng, kh) block-diagonal rows
+    xh_bd = mask * xh
+    p_b = jnp.dot(xl_bd, b32, preferred_element_type=f)        # (ng, nt)
+    p_h = jnp.dot(jnp.concatenate([xl_bd, xh_bd], axis=0), hi32,
+                  preferred_element_type=f)                    # (2ng, nt)
+    sig = jnp.sum(xl_bd, axis=1, keepdims=True)                # (ng, 1)
+    s32 = s.astype(f)
+    t1 = (s32[:ng] * (p_b - 16.0 * p_h[:ng] - 8.0 * sig)
+          + s32[ng:] * p_h[ng:])
+    ones = jnp.full((1, ng), 1.0, f)
+    return jnp.dot(ones, t1, preferred_element_type=f)         # (1, nt)
+
+
+def grouped_int4_acc(x_lo, x_hi, w4, s):
+    """acc (T, nt) f32 of K-grouped-scale int4 (io/quant.py group>0, the
+    Q4_0-granularity layout): scales no longer factor out of the dot.
+
+    T==1 (the B=1 decode row) routes to the block-diagonal raw-byte
+    scheme (_grouped_bd_acc) — no unpack at all, like rawf32m for
+    per-channel. Batched rows dequantize to input-dtype weight tiles in
+    place: the scale block expands to per-row scales via
+    _expand_grouped_scale; the bf16 cast of the dequantized tile adds
+    ~2^-8 relative rounding on top of the int4 step (amax/8), i.e.
+    negligible. Scales arrive APPLIED — callers must not multiply the
+    accumulator again."""
+    f = jnp.float32
+    kh = w4.shape[0]
+    # bd needs bf16 activations: Mosaic rejects the (1, kh) -> (ng, kh)
+    # sublane broadcast of a NATIVE f32 row ("vector.broadcast: Invalid
+    # input layout" — the replicated-sublane vpad layout), while the f32
+    # produced by casting a bf16 row broadcasts fine. Production decode
+    # is bf16; f32 inputs take the dequant path below.
+    if (x_lo.shape[0] == 1 and s.shape[0] <= 128
+            and x_lo.dtype == jnp.bfloat16):
+        return _grouped_bd_acc(x_lo, x_hi, w4, s)
     dt = x_lo.dtype
     b32 = w4.astype(f)
     hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
@@ -298,7 +347,9 @@ def int4_matmul_pallas(x, q4, scale, layer=None, interpret: bool = False):
     kh, n = q4.shape[-2:]
     assert kh * 2 == k, (q4.shape, x.shape)
     grouped = scale.ndim == q4.ndim
-    nt = _n_tile(n, k, 4, grouped=grouped)
+    bd = (grouped and t == 1 and scale.shape[-2] <= 128  # = 2*ng rows
+          and x.dtype == jnp.bfloat16)
+    nt = _n_tile(n, k, 4, grouped=grouped, bd=bd)
     mt, tp = _m_tile(t)
     wspec, sspec, q4, scale = _w_specs(q4, scale, layer, nt)
     if tp != t:

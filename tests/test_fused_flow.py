@@ -39,6 +39,28 @@ def test_fused_matches_xla():
                                    atol=2e-4, err_msg=f"bits={bits}")
 
 
+def test_grouped_scales_match():
+    """K-grouped (Q4_0) int4: in-kernel grouped dequant (f32 x, batched
+    rows) and the bf16 B==1 block-diagonal raw-byte path both match the
+    XLA grouped math."""
+    rng = np.random.RandomState(7)
+    pq = quantize_params(PARAMS, bits=4, group=32)["flow_net"]
+    assert fused_flow.supported(pq)
+    c = jnp.asarray(rng.randn(CFG.backbone.d_model).astype(np.float32) * .3)
+    x = jnp.asarray(rng.randn(CFG.latent_dim).astype(np.float32) * 0.5)
+    tc = flow_mlp.time_cond(PARAMS["flow_net"])
+    want = flow_mlp.forward(pq, c, x, tc, use_pallas=False)
+    got = fused_flow.flow_forward(pq, c, x, tc, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)
+    # bf16 activations -> the bd scheme inside the kernel
+    got16 = fused_flow.flow_forward(pq, c.astype(jnp.bfloat16),
+                                    x.astype(jnp.bfloat16),
+                                    tc, interpret=True)
+    np.testing.assert_allclose(np.asarray(got16, np.float32),
+                               np.asarray(want, np.float32), atol=2e-2)
+
+
 def test_vmap_batches_streams():
     rng = np.random.RandomState(1)
     b = 4

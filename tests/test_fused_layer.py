@@ -163,13 +163,31 @@ class TestFusedLayer:
             np.testing.assert_allclose(np.asarray(gp), np.asarray(wp),
                                        atol=2e-4, err_msg=f"bsz={bsz}")
 
-    def test_grouped_excluded_from_megalayer_and_flow(self):
-        from pocket_tts_tpu.ops import fused_flow, fused_step
+    def test_grouped_excluded_from_megalayer(self):
+        """The megalayer's in-step dequant has no grouped path — grouped
+        layouts stay on the 3-call fused kernels (which handle them)."""
+        from pocket_tts_tpu.ops import fused_step
         p = _layer_params(4, group=32)
         assert not fused_step.supported(p)
-        pq = quantize_params(PARAMS, bits=4, group=32)
-        if "flow" in pq:
-            assert not fused_flow.supported(pq["flow"])
+
+    def test_grouped_bd_bf16_matches(self):
+        """The bf16 T==1 grouped path (block-diagonal raw-byte scheme,
+        quant_matmul._grouped_bd_acc) == the grouped dequant math at
+        bf16-dot rounding level."""
+        rng = np.random.RandomState(31)
+        dm = CFG.backbone.d_model
+        p = _layer_params(4, group=32)
+        x1 = jnp.asarray(rng.randn(1, dm) * 0.3).astype(jnp.bfloat16)
+        a1 = jnp.asarray(rng.randn(1, dm) * 0.3).astype(jnp.bfloat16)
+        got = np.asarray(fused_layer.post_attention(p, x1, a1,
+                                                    interpret=True),
+                         np.float32)
+        want = np.asarray(_unfused_post(p, x1, a1), np.float32)
+        np.testing.assert_allclose(got, want, atol=6e-3)
+        gp = np.asarray(fused_layer.pre_attention(p, x1, interpret=True),
+                        np.float32)
+        wp = np.asarray(_unfused_pre(p, x1), np.float32)
+        np.testing.assert_allclose(gp, wp, atol=6e-3)
 
     def test_batched_rows_collapse(self):
         """vmap over streams == per-stream results (rows are independent,

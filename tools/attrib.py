@@ -53,6 +53,8 @@ if mode.startswith("b32"):
 
 if mode in ("b1int4", "b1int4scan"):
     params_x, cfg_x = quantize_params(params, bits=4), cfg_srv
+elif mode == "b1q40scan":
+    params_x, cfg_x = quantize_params(params, bits=4, group=32), cfg
 elif mode == "b1bf16":
     params_x, cfg_x = params, cfg
 elif mode == "b32srv":
