@@ -23,7 +23,9 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import BackboneConfig
-from ..ops.attention import pos_cache_bias, sdpa, sdpa_decode_seg
+from ..ops.attention import (merge_attn_partials, pos_cache_bias,
+                             prefix_attn_stats, sdpa, sdpa_decode_seg,
+                             sdpa_decode_seg_stats, sdpa_seg_stats)
 from ..ops.basic import gelu, layer_norm, linear
 from ..ops.rope import apply_rope_halves as apply_rope, rope_cos_sin
 
@@ -60,6 +62,19 @@ class BackboneState:
     # exhausted-then-compacted linear cache twice over — smaller reads AND
     # faster per byte, with no compaction pauses. None = linear mode.
     ring_start: jax.Array = None
+    # Shared-prefix serving (vLLM-style prompt KV sharing; no analog in
+    # the single-stream reference): pk/pv are per-layer (Pv, H*D) tables
+    # holding ALL registered voices' prompt KV concatenated, kept
+    # batch-UNBATCHED under vmap so XLA contracts them as a shared matmul
+    # operand — the prompt bytes stream from HBM once per frame for the
+    # whole batch instead of once per lane, and the per-lane cache keeps
+    # only text+decode rows. ppos is the per-LANE (Pv,) position row:
+    # the lane's own voice segment carries the prompt positions, every
+    # other slot is -1 (masked) — multi-voice sharing by masking alone,
+    # no gathers. See ops/attention.prefix_attn_stats.
+    pk: tuple = None
+    pv: tuple = None
+    ppos: jax.Array = None
 
 
 def init_state(cfg: BackboneConfig, dtype=jnp.float32) -> BackboneState:
@@ -91,7 +106,7 @@ def quantize_rows(x):
 def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
            pos_vec, num_heads: int, gelu_approx: bool, pallas_mode: str,
            mesh=None, read_end=None, cur_pos=None, fuse_insert=True,
-           use_megalayer=False):
+           use_megalayer=False, prefix=None):
     """One pre-LN layer. ref: streaming_transformer_layer_forward,
     transformer.h:253-278; attention transformer.h:55-199.
 
@@ -140,6 +155,11 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
     k_rows = k.reshape(t, dm)
     v_rows = v.reshape(t, dm)
     quant = k_cache.dtype == jnp.int8
+    stats = prefix is not None
+    if stats:
+        # shared-prefix partial (prompt KV contracted as a shared matmul
+        # operand), merged with the per-lane cache partial below
+        o1, m1, l1 = prefix_attn_stats(q, *prefix)
     if pallas_mode != "off" and t == 1 and fuse_insert:
         # fused insert + flash decode: the per-layer DUS dispatches (2-4
         # per layer, ~50 us/frame of fixed cost at batch 32) fold into
@@ -151,17 +171,21 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
         if quant:
             k_q, k_s = quantize_rows(k_rows)
             v_q, v_s = quantize_rows(v_rows)
-            attn1, k_cache, v_cache, k_scale, v_scale = (
+            attn1, k_cache, v_cache, k_scale, v_scale, *st = (
                 decode_insert_attention(
                     q[0], k_q, v_q, cur_pos, k_cache, v_cache, pos_vec,
                     re_, end, k_scale=k_scale, v_scale=v_scale,
                     ks_new=k_s[0], vs_new=v_s[0], interpret=interp,
-                    mesh=mesh))
+                    mesh=mesh, stats=stats))
         else:
-            attn1, k_cache, v_cache = decode_insert_attention(
+            attn1, k_cache, v_cache, *st = decode_insert_attention(
                 q[0], k_rows.astype(k_cache.dtype),
                 v_rows.astype(v_cache.dtype), cur_pos, k_cache, v_cache,
-                pos_vec, re_, end, interpret=interp, mesh=mesh)
+                pos_vec, re_, end, interpret=interp, mesh=mesh,
+                stats=stats)
+        if stats:
+            attn1 = merge_attn_partials(o1[0], m1[0], l1[0],
+                                        attn1, st[0], st[1])
         if fused:
             x = fused_layer.post_attention(
                 p, x, attn1.reshape(t, dm), approx=gelu_approx,
@@ -186,11 +210,16 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
             v_cache, v_rows.astype(v_cache.dtype), (end, 0))
     if pallas_mode != "off" and t == 1:
         from ..ops.pallas_attn import decode_attention
-        attn = decode_attention(
+        res = decode_attention(
             q[0], k_cache, v_cache, pos_vec,
             end if read_end is None else read_end,
             k_scale=k_scale, v_scale=v_scale,
-            interpret=(pallas_mode == "interpret"), mesh=mesh)[None]
+            interpret=(pallas_mode == "interpret"), mesh=mesh,
+            stats=stats)
+        if stats:
+            attn = merge_attn_partials(o1[0], m1[0], l1[0], *res)[None]
+        else:
+            attn = res[None]
     else:
         if quant:
             # XLA fallback: dequantize in full (correct everywhere; the
@@ -202,7 +231,14 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
         else:
             k_deq = k_cache.astype(q.dtype)
             v_deq = v_cache.astype(q.dtype)
-        if t == 1:
+        if stats:
+            # shared-prefix mode: flash stats from the flat-cache seg
+            # matmuls, merged with the prompt partial (t>1 = the text
+            # prefill attending prompt + its own rows)
+            fn = sdpa_decode_seg_stats if t == 1 else sdpa_seg_stats
+            o2, m2, l2 = fn(q, k_deq, v_deq, bias)
+            attn = merge_attn_partials(o1, m1, l1, o2, m2, l2)
+        elif t == 1:
             # MXU-matmul formulation over the flat cache — the natural
             # einsum lowers to VPU multiply-reduce far below memory
             # bandwidth at T=1
@@ -263,6 +299,7 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
     # than a same-sized prefix of a larger array (see BackboneState)
     read_end = (None if state.ring_start is None
                 else jnp.asarray(state.k[0].shape[-2] - 1, jnp.int32))
+    share = state.pk is not None
     k_new, v_new, ks_new, vs_new = [], [], [], []
     for l in range(cfg.num_layers):
         layer_p = slice_layer_params(p["layers"], l)
@@ -272,7 +309,10 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
             layer_p, x, state.k[l], state.v[l], ks, vs, state.end, cos, sin,
             bias, pos_vec, cfg.num_heads, gelu_approx, pallas_mode,
             mesh=cfg.mesh, read_end=read_end, cur_pos=row_pos[0],
-            fuse_insert=cfg.fuse_insert, use_megalayer=cfg.use_megalayer)
+            fuse_insert=cfg.fuse_insert,
+            use_megalayer=cfg.use_megalayer and not share,
+            prefix=((state.pk[l], state.pv[l], state.ppos) if share
+                    else None))
         k_new.append(k_l)
         v_new.append(v_l)
         ks_new.append(ks_l)
@@ -281,6 +321,38 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
         k=tuple(k_new), v=tuple(v_new), pos=pos_vec,
         k_scale=tuple(ks_new) if state.k_scale is not None else None,
         v_scale=tuple(vs_new) if state.v_scale is not None else None), x
+
+
+def split_prefix(state: BackboneState, p: int, dtype=jnp.bfloat16):
+    """Move slots [0, p) of a primed SOLO state into shared-prefix tables.
+
+    Returns ((pk, pv, ppos), residual): pk/pv per-layer (p, H*D) `dtype`
+    tables (int8-KV rows are dequantized — the tables are read once per
+    frame for a whole batch, so bf16 traffic is negligible and exactness
+    beats re-quantization), ppos the (p,) positions; the residual state
+    keeps slots [p:] with cursors rebased, ready for text prefill."""
+    quant = state.k_scale is not None
+
+    def grab(rows, scale):
+        r = rows[:p]
+        if quant:
+            r = r.astype(jnp.float32) * scale[:p, None]
+        return r.astype(dtype)
+
+    pk = tuple(grab(state.k[l], state.k_scale[l] if quant else None)
+               for l in range(len(state.k)))
+    pv = tuple(grab(state.v[l], state.v_scale[l] if quant else None)
+               for l in range(len(state.v)))
+    ppos = state.pos[:p]
+    residual = state.replace(
+        k=tuple(k[p:] for k in state.k),
+        v=tuple(v[p:] for v in state.v),
+        pos=state.pos[p:],
+        end=state.end - jnp.asarray(p, jnp.int32),
+        k_scale=(tuple(s[p:] for s in state.k_scale) if quant else None),
+        v_scale=(tuple(s[p:] for s in state.v_scale) if quant else None),
+    )
+    return (pk, pv, ppos), residual
 
 
 def shrink_state(state: BackboneState, capacity: int) -> BackboneState:

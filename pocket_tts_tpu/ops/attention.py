@@ -69,6 +69,30 @@ def sdpa_decode_seg(q, k, v, bias):
     return out.reshape(1, h, d).astype(q.dtype)
 
 
+def sdpa_decode_seg_stats(q, k, v, bias):
+    """sdpa_decode_seg + flash (m, l) stats: XLA counterpart of the
+    Pallas kernels' stats=True mode for shared-prefix merges. Returns
+    (out (1, H, D), m (1, H) f32, l (1, H) f32)."""
+    _, h, d = q.shape
+    s, hd = k.shape
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 1)
+    head = jax.lax.broadcasted_iota(jnp.int32, (h, hd), 0)
+    seg = (lane // d == head).astype(k.dtype)
+    qmask = q.reshape(1, hd) * seg
+    logits = jnp.dot(k, qmask.T,
+                     preferred_element_type=jnp.float32) * scale  # (S, H)
+    logits = logits + bias.reshape(s, 1)
+    m = jnp.max(logits, axis=0)                                   # (H,)
+    w = jnp.exp(logits - m[None, :])
+    l = jnp.sum(w, axis=0)
+    out_full = jnp.dot((w / jnp.maximum(l, 1e-30)).T.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32)
+    out = jnp.sum(out_full * seg.astype(jnp.float32), axis=0)
+    return (out.reshape(1, h, d).astype(q.dtype),
+            m.reshape(1, h), l.reshape(1, h))
+
+
 def sdpa_seg(q, k, v, bias):
     """T>=1 decode attention over FLAT caches as two MXU matmuls.
 
@@ -98,6 +122,79 @@ def sdpa_seg(q, k, v, bias):
     out = (out_full.reshape(th, h, d)
            * oh.astype(jnp.float32)[:, :, None]).sum(axis=1)     # (TH, D)
     return out.reshape(t, h, d).astype(q.dtype)
+
+
+def sdpa_seg_stats(q, k, v, bias):
+    """sdpa_seg + flash (m, l) stats (T>=1) — the XLA path for prefill
+    rows under shared-prefix serving. Returns (out (T, H, D), m (T, H),
+    l (T, H))."""
+    t, h, d = q.shape
+    s, hd = k.shape
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    th = t * h
+    oh = jax.nn.one_hot(jnp.arange(th) % h, h, dtype=q.dtype)
+    qm = (oh[:, :, None] * q.reshape(th, 1, d)).reshape(th, hd)
+    logits = jnp.dot(k, qm.T, preferred_element_type=jnp.float32) * scale
+    logits = logits + jnp.repeat(bias.T.astype(jnp.float32), h, axis=1)
+    m = jnp.max(logits, axis=0)                                  # (TH,)
+    w = jnp.exp(logits - m[None, :])
+    l = jnp.sum(w, axis=0)
+    out_full = jnp.dot((w / jnp.maximum(l, 1e-30)).T.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32)
+    out = (out_full.reshape(th, h, d)
+           * oh.astype(jnp.float32)[:, :, None]).sum(axis=1)
+    return (out.reshape(t, h, d).astype(q.dtype),
+            m.reshape(t, h), l.reshape(t, h))
+
+
+def prefix_attn_stats(q, pk, pv, ppos):
+    """Partial attention over a SHARED prompt-prefix table, with flash
+    stats for an exact external merge.
+
+    Shared-prefix serving: every lane of a voice attends the identical
+    prompt KV, so the table is stored ONCE and contracted as a plain
+    matmul operand — under vmap the table stays unbatched and XLA reads
+    it once per frame for the whole batch instead of once per lane
+    (vLLM-style prefix sharing; no analog in the reference, which
+    decodes a single stream). The per-lane ring keeps only text+decode
+    rows; merge with its partial via merge_attn_partials.
+
+    q: (T, H, D); pk/pv: (P, H*D) flat (bf16); ppos: (P,) int32 (-1 =
+    padding; prompt positions always precede decode positions, so no
+    causal check is needed). Returns (out (T, H, D) f32 NORMALIZED,
+    m (T, H) f32 running max, l (T, H) f32 normalizer).
+    """
+    t, h, d = q.shape
+    p, hd = pk.shape
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    th = t * h
+    oh = jax.nn.one_hot(jnp.arange(th) % h, h, dtype=q.dtype)   # (TH, H)
+    qm = (oh[:, :, None] * q.reshape(th, 1, d)).reshape(th, hd)
+    # (P, TH): pk is the shared LHS operand — batching lands on qm only
+    logits = jnp.dot(pk, qm.T, preferred_element_type=jnp.float32) * scale
+    logits = logits + jnp.where(ppos >= 0, 0.0, NEG_INF)[:, None]
+    m = jnp.max(logits, axis=0)                                  # (TH,)
+    w = jnp.exp(logits - m[None, :])
+    l = jnp.sum(w, axis=0)                                       # (TH,)
+    out_full = jnp.dot(w.T.astype(pv.dtype), pv,
+                       preferred_element_type=jnp.float32)       # (TH, HD)
+    out = (out_full.reshape(th, h, d)
+           * oh.astype(jnp.float32)[:, :, None]).sum(axis=1)    # (TH, D)
+    out = out / jnp.maximum(l, 1e-30)[:, None]
+    return out.reshape(t, h, d), m.reshape(t, h), l.reshape(t, h)
+
+
+def merge_attn_partials(o1, m1, l1, o2, m2, l2):
+    """Exact flash merge of two NORMALIZED attention partials over
+    disjoint key sets. o: (..., H, D) f32-able; m/l: (..., H)."""
+    m = jnp.maximum(m1, m2)
+    a1 = jnp.exp(m1 - m) * l1
+    a2 = jnp.exp(m2 - m) * l2
+    denom = jnp.maximum(a1 + a2, 1e-30)
+    w1 = (a1 / denom)[..., None]
+    w2 = (a2 / denom)[..., None]
+    return (o1.astype(jnp.float32) * w1
+            + o2.astype(jnp.float32) * w2).astype(o2.dtype)
 
 
 def pos_cache_bias(q_pos, slot_pos, neg: float = NEG_INF):

@@ -75,7 +75,7 @@ def _pick_group(bsz: int, bytes_per_stream: int, itemsize: int):
 
 
 def _decode_attn_kernel(end_ref, qm_ref, pos_ref, *rest, num_heads,
-                        head_dim, nb_total, quant, group):
+                        head_dim, nb_total, quant, group, stats=False):
     """One (stream-group, cache-block) grid step of batched flash decode.
 
     Each step processes `group` consecutive streams — the fixed per-step
@@ -93,10 +93,15 @@ def _decode_attn_kernel(end_ref, qm_ref, pos_ref, *rest, num_heads,
     logits): the transposed formulation needed a (1, BS) -> (BS, 1)
     sublane relayout every step, a measurable per-step cost.
     """
+    st_ref = None
     if quant:
-        ks_ref, vs_ref, k_ref, v_ref, out_ref, m_s, l_s, acc_s = rest
+        ks_ref, vs_ref, k_ref, v_ref, out_ref, *tail = rest
     else:
-        k_ref, v_ref, out_ref, m_s, l_s, acc_s = rest
+        k_ref, v_ref, out_ref, *tail = rest
+    if stats:
+        st_ref, m_s, l_s, acc_s = tail
+    else:
+        m_s, l_s, acc_s = tail
     i = pl.program_id(1)
     bs = k_ref.shape[1]
     h, d = num_heads, head_dim
@@ -165,14 +170,20 @@ def _decode_attn_kernel(end_ref, qm_ref, pos_ref, *rest, num_heads,
             norm = acc_s[lo:hi] / jnp.maximum(l_s[lo:hi], 1e-30)
             out_ref[g] = jnp.sum(norm * seg, axis=0,
                                  keepdims=True).astype(out_ref.dtype)
+            if stats:
+                # flash partial stats for external merges (shared-prefix
+                # attention): running max + normalizer per head
+                st_ref[g] = jnp.concatenate([m_s[lo:hi], l_s[lo:hi]],
+                                            axis=1)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_size", "interpret"))
+                   static_argnames=("block_size", "interpret", "stats"))
 def _decode_attention_batched(q, k_cache, v_cache, pos, end,
                               k_scale=None, v_scale=None,
                               block_size: int = 128,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              stats: bool = False):
     """q: (B, H, D); k/v_cache: (B, S, H*D) flat (int8 when k_scale/v_scale
     (B, S) f32 per-row dequant scales are given); pos: (B, S); end: ()
     shared. Returns (B, H, D)."""
@@ -190,7 +201,7 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
                                   k_cache.dtype.itemsize)
     kernel = functools.partial(
         _decode_attn_kernel, num_heads=h, head_dim=d, nb_total=nb,
-        quant=quant, group=group)
+        quant=quant, group=group, stats=stats)
 
     # seg-masked query built once here: qm[b, h, i] = q[b, h, i - h*d] for
     # lanes i in head h's segment, 0 elsewhere — (B, H, H*D) bf16
@@ -226,31 +237,42 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
     ]
     operands += [k_cache, v_cache]
 
+    out_specs = pl.BlockSpec((group, 1, h * d), lambda b, i, e: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bsz, 1, h * d), q.dtype)
+    if stats:
+        out_specs = [out_specs,
+                     pl.BlockSpec((group, h, 2), lambda b, i, e: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((bsz, h, 2), jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bsz // group, nb),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((group, 1, h * d),
-                                   lambda b, i, e: (b, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((group * h, 1), jnp.float32),
                 pltpu.VMEM((group * h, 1), jnp.float32),
                 pltpu.VMEM((group * h, h * d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, 1, h * d), q.dtype),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=vmem_lim)
                          if vmem_lim else None),
         name="flash_decode",
     )(jnp.asarray(end, jnp.int32).reshape(1), *operands)
+    if stats:
+        out, st = out
+        return out.reshape(bsz, h, d), st[..., 0], st[..., 1]
     return out.reshape(bsz, h, d)
 
 
-def _shard_batched(mesh, quant: bool, block_size: int, interpret: bool):
+def _shard_batched(mesh, quant: bool, block_size: int, interpret: bool,
+                   stats: bool = False):
     """shard_map wrapper: streams shard over "data", heads over "model".
 
     GSPMD cannot partition a Mosaic custom call, so under a mesh the
@@ -276,16 +298,20 @@ def _shard_batched(mesh, quant: bool, block_size: int, interpret: bool):
             q, k, v, ks, vs, pos, end = args
             return _decode_attention_batched(
                 q, k, v, pos, end, ks, vs,
-                block_size=block_size, interpret=interpret)
+                block_size=block_size, interpret=interpret, stats=stats)
         q, k, v, pos, end = args
         return _decode_attention_batched(
-            q, k, v, pos, end, block_size=block_size, interpret=interpret)
+            q, k, v, pos, end, block_size=block_size, interpret=interpret,
+            stats=stats)
 
+    # stats (B, H) shard like q's (batch, head) axes
+    out_specs = (q_s, P("data", "model"), P("data", "model")) if stats \
+        else q_s
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
     # info, which the checker would demand (both kernels are per-shard pure
     # maps, so the check adds nothing here anyway)
-    return jax.shard_map(call, mesh=mesh, in_specs=in_specs, out_specs=q_s,
-                         check_vma=False)
+    return jax.shard_map(call, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
 
 
 def _check_mesh_divides(mesh, axis_size: int, num_heads: int):
@@ -299,18 +325,23 @@ def _check_mesh_divides(mesh, axis_size: int, num_heads: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_decode_attention(block_size: int, interpret: bool, mesh=None):
+def _make_decode_attention(block_size: int, interpret: bool, mesh=None,
+                           stats: bool = False):
     """Single-stream decode attention with a custom vmap rule that dispatches
     the explicitly-batched kernel (so the engine's vmap lands here instead
     of an unbatchable custom call). mesh: run the batched kernel inside
     shard_map (vmapped calls only — the unvmapped base case is solo-stream
-    and never sharded)."""
+    and never sharded). stats: also return the flash (m, l) per head for
+    external partial merges (shared-prefix attention)."""
 
     @jax.custom_batching.custom_vmap
     def fn(q, k_cache, v_cache, pos, end):
-        return _decode_attention_batched(
+        out = _decode_attention_batched(
             q[None], k_cache[None], v_cache[None], pos[None], end,
-            block_size=block_size, interpret=interpret)[0]
+            block_size=block_size, interpret=interpret, stats=stats)
+        if stats:
+            return tuple(o[0] for o in out)
+        return out[0]
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, q, k_cache, v_cache, pos, end):
@@ -324,25 +355,33 @@ def _make_decode_attention(block_size: int, interpret: bool, mesh=None):
                 bat(pos, pb), jnp.asarray(end, jnp.int32))
         if mesh is not None:
             _check_mesh_divides(mesh, axis_size, q.shape[-2])
-            out = _shard_batched(mesh, False, block_size, interpret)(*args)
+            out = _shard_batched(mesh, False, block_size, interpret,
+                                 stats)(*args)
         else:
             out = _decode_attention_batched(
-                *args, block_size=block_size, interpret=interpret)
+                *args, block_size=block_size, interpret=interpret,
+                stats=stats)
+        if stats:
+            return tuple(out), (True,) * len(out)
         return out, True
 
     return fn
 
 
 @functools.lru_cache(maxsize=None)
-def _make_decode_attention_q(block_size: int, interpret: bool, mesh=None):
+def _make_decode_attention_q(block_size: int, interpret: bool, mesh=None,
+                             stats: bool = False):
     """int8-KV variant (per-row dequant scales as extra operands)."""
 
     @jax.custom_batching.custom_vmap
     def fn(q, k_cache, v_cache, k_scale, v_scale, pos, end):
-        return _decode_attention_batched(
+        out = _decode_attention_batched(
             q[None], k_cache[None], v_cache[None], pos[None], end,
             k_scale[None], v_scale[None],
-            block_size=block_size, interpret=interpret)[0]
+            block_size=block_size, interpret=interpret, stats=stats)
+        if stats:
+            return tuple(o[0] for o in out)
+        return out[0]
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, q, k_cache, v_cache, k_scale, v_scale,
@@ -355,7 +394,7 @@ def _make_decode_attention_q(block_size: int, interpret: bool, mesh=None):
 
         if mesh is not None:
             _check_mesh_divides(mesh, axis_size, q.shape[-2])
-            out = _shard_batched(mesh, True, block_size, interpret)(
+            out = _shard_batched(mesh, True, block_size, interpret, stats)(
                 bat(q, qb), bat(k_cache, kb), bat(v_cache, vb),
                 bat(k_scale, ksb), bat(v_scale, vsb), bat(pos, pb),
                 jnp.asarray(end, jnp.int32))
@@ -363,7 +402,9 @@ def _make_decode_attention_q(block_size: int, interpret: bool, mesh=None):
             out = _decode_attention_batched(
                 bat(q, qb), bat(k_cache, kb), bat(v_cache, vb), bat(pos, pb),
                 end, bat(k_scale, ksb), bat(v_scale, vsb),
-                block_size=block_size, interpret=interpret)
+                block_size=block_size, interpret=interpret, stats=stats)
+        if stats:
+            return tuple(out), (True,) * len(out)
         return out, True
 
     return fn
@@ -412,7 +453,7 @@ def _win_select(rowsel, new_row, old):
 
 
 def _insert_attn_kernel(ends_ref, cpos_ref, *rest, num_heads, head_dim,
-                        nb_total, quant, group, win):
+                        nb_total, quant, group, win, stats=False):
     """Fused single-token insert + batched flash decode.
 
     Grid (B//G, NB). ends_ref (2,) SMEM: [read extent, write slot]
@@ -420,13 +461,18 @@ def _insert_attn_kernel(ends_ref, cpos_ref, *rest, num_heads, head_dim,
     stream (-1 = invalid row). quant adds ksn/vsn (B,) f32 SMEM new-row
     scales, (G, NB, BS) scale-row blocks, and whole-row scale outputs.
     """
+    st_ref = None
     if quant:
         (ksn_ref, vsn_ref, qm_ref, pos_ref, ks_ref, vs_ref, kn_ref, vn_ref,
          k_ref, v_ref, out_ref, kc_out, vc_out, kso_ref, vso_ref,
-         m_s, l_s, acc_s, kwin, vwin, sems) = rest
+         *tail) = rest
     else:
         (qm_ref, pos_ref, kn_ref, vn_ref, k_ref, v_ref,
-         out_ref, kc_out, vc_out, m_s, l_s, acc_s, kwin, vwin, sems) = rest
+         out_ref, kc_out, vc_out, *tail) = rest
+    if stats:
+        st_ref, m_s, l_s, acc_s, kwin, vwin, sems = tail
+    else:
+        m_s, l_s, acc_s, kwin, vwin, sems = tail
     b = pl.program_id(0)
     i = pl.program_id(1)
     bs = k_ref.shape[1]
@@ -543,6 +589,9 @@ def _insert_attn_kernel(ends_ref, cpos_ref, *rest, num_heads, head_dim,
             norm = acc_fin / jnp.maximum(l_fin, 1e-30)
             out_ref[g] = jnp.sum(norm * seg, axis=0,
                                  keepdims=True).astype(out_ref.dtype)
+            if stats:
+                # post-merge flash stats (shared-prefix external merge)
+                st_ref[g] = jnp.concatenate([m_fin, l_fin], axis=1)
             # ---- scale rows (whole-row VMEM blocks, lane select) -------
             if quant:
                 kso_ref[g] = jnp.where(flat == ws, ksn_ref[babs], ks_ref[g])
@@ -554,13 +603,14 @@ def _insert_attn_kernel(ends_ref, cpos_ref, *rest, num_heads, head_dim,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_size", "interpret"))
+                   static_argnames=("block_size", "interpret", "stats"))
 def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
                                      v_cache, pos, read_end, write_slot,
                                      ks_new=None, vs_new=None,
                                      k_scale=None, v_scale=None,
                                      block_size: int = 128,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     stats: bool = False):
     """Fused insert + flash decode. q (B, H, D); k_new/v_new (B, 1, H*D)
     in CACHE dtype (pre-quantized rows in int8-KV mode, with ks_new/vs_new
     (B,) f32 scales); cur_pos (B,) i32 the new row's position (-1 =
@@ -581,7 +631,7 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
                                   k_cache.dtype.itemsize)
     kernel = functools.partial(
         _insert_attn_kernel, num_heads=h, head_dim=d, nb_total=nb,
-        quant=quant, group=group, win=win)
+        quant=quant, group=group, win=win, stats=stats)
 
     eye = jnp.eye(h, dtype=q.dtype)
     qm = (eye[:, :, None] * q[:, None]).reshape(bsz, h, h * d)
@@ -639,6 +689,11 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
         ]
         aliases[nsc + 2] = 3                        # k_scale rows
         aliases[nsc + 3] = 4                        # v_scale rows
+    if stats:
+        out_specs += [pl.BlockSpec((group, h, 2),
+                                   lambda b, i, *s: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((bsz, h, 2), jnp.float32)]
 
     outs = pl.pallas_call(
         kernel,
@@ -665,14 +720,17 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
     )(*scalars, *operands)
     out, kc, vc = outs[0], outs[1], outs[2]
     out = out.reshape(bsz, h, d)
+    res = (out, kc, vc)
     if quant:
-        return (out, kc, vc, outs[3].reshape(bsz, s),
-                outs[4].reshape(bsz, s))
-    return out, kc, vc
+        res += (outs[3].reshape(bsz, s), outs[4].reshape(bsz, s))
+    if stats:
+        st = outs[-1]
+        res += (st[..., 0], st[..., 1])
+    return res
 
 
 def _shard_insert_batched(mesh, quant: bool, block_size: int,
-                          interpret: bool):
+                          interpret: bool, stats: bool = False):
     """shard_map wrapper for the fused insert kernel: streams over "data",
     heads over "model" — same seams as _shard_batched; the per-row scale
     arrays are replicated over "model" (each head-shard selects in the
@@ -690,17 +748,19 @@ def _shard_insert_batched(mesh, quant: bool, block_size: int,
     else:
         in_specs = (q_s, kv_s, kv_s, kv_s, kv_s, vec_s, row_s, P(), P())
         out_specs = (q_s, kv_s, kv_s)
+    if stats:
+        out_specs += (P("data", "model"), P("data", "model"))
 
     def call(*args):
         if quant:
             (q, kn, vn, k, v, cpos, ksn, vsn, ks, vs, pos, re_, ws_) = args
             return _decode_insert_attention_batched(
                 q, kn, vn, cpos, k, v, pos, re_, ws_, ksn, vsn, ks, vs,
-                block_size=block_size, interpret=interpret)
+                block_size=block_size, interpret=interpret, stats=stats)
         q, kn, vn, k, v, cpos, pos, re_, ws_ = args
         return _decode_insert_attention_batched(
             q, kn, vn, cpos, k, v, pos, re_, ws_,
-            block_size=block_size, interpret=interpret)
+            block_size=block_size, interpret=interpret, stats=stats)
 
     return jax.shard_map(call, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)
@@ -708,7 +768,7 @@ def _shard_insert_batched(mesh, quant: bool, block_size: int,
 
 @functools.lru_cache(maxsize=None)
 def _make_insert_attention(quant: bool, block_size: int, interpret: bool,
-                           mesh=None):
+                           mesh=None, stats: bool = False):
     """Single-stream fused insert+decode with a custom vmap rule (the
     batch collapses into the explicitly-batched kernel; write/read slot
     cursors stay batch-uniform)."""
@@ -722,7 +782,7 @@ def _make_insert_attention(quant: bool, block_size: int, interpret: bool,
             v_cache[None], pos[None], read_end, write_slot,
             *([qargs[0].reshape(1), qargs[1].reshape(1), qargs[2][None],
                qargs[3][None]] if quant else []),
-            block_size=block_size, interpret=interpret)
+            block_size=block_size, interpret=interpret, stats=stats)
         return tuple(o[0] for o in outs)
 
     @fn.def_vmap
@@ -747,19 +807,19 @@ def _make_insert_attention(quant: bool, block_size: int, interpret: bool,
             if quant:
                 ksn, vsn, ks, vs = qb
                 outs = _shard_insert_batched(mesh, True, block_size,
-                                             interpret)(
+                                             interpret, stats)(
                     args[0], args[1], args[2], args[4], args[5], args[3],
                     ksn, vsn, ks, vs, args[6], re_, ws_)
             else:
                 outs = _shard_insert_batched(mesh, False, block_size,
-                                             interpret)(
+                                             interpret, stats)(
                     args[0], args[1], args[2], args[4], args[5], args[3],
                     args[6], re_, ws_)
         else:
             outs = _decode_insert_attention_batched(
                 args[0], args[1], args[2], args[3], args[4], args[5],
                 args[6], re_, ws_, *qb,
-                block_size=block_size, interpret=interpret)
+                block_size=block_size, interpret=interpret, stats=stats)
         return tuple(outs), tuple(True for _ in outs)
 
     return fn
@@ -769,7 +829,7 @@ def decode_insert_attention(q, k_new, v_new, cur_pos, k_cache, v_cache,
                             pos, read_end, write_slot, k_scale=None,
                             v_scale=None, ks_new=None, vs_new=None,
                             block_size: int = None, interpret: bool = False,
-                            mesh=None):
+                            mesh=None, stats: bool = False):
     """Fused KV insert + flash decode for one stream (batch via vmap).
 
     q: (H, D); k_new/v_new: (1, H*D) rows in CACHE dtype (pre-quantized
@@ -787,7 +847,7 @@ def decode_insert_attention(q, k_new, v_new, cur_pos, k_cache, v_cache,
     if block_size is None:
         block_size = _pick_block(k_cache.shape[0])
     quant = k_scale is not None
-    fn = _make_insert_attention(quant, block_size, interpret, mesh)
+    fn = _make_insert_attention(quant, block_size, interpret, mesh, stats)
     args = [q, k_new, v_new, jnp.asarray(cur_pos, jnp.int32), k_cache,
             v_cache, pos, jnp.asarray(read_end, jnp.int32),
             jnp.asarray(write_slot, jnp.int32)]
@@ -809,7 +869,7 @@ def _pick_block(s: int) -> int:
 
 def decode_attention(q, k_cache, v_cache, pos, end, block_size: int = None,
                      k_scale=None, v_scale=None, interpret: bool = False,
-                     mesh=None):
+                     mesh=None, stats: bool = False):
     """q: (H, D) single query; k/v_cache: (S, H, D) or flat (S, H*D);
     pos: (S,) int32 (-1 = invalid); end: () int32 last written slot index
     (batch-uniform under vmap); k_scale/v_scale: (S,) f32 per-row dequant
@@ -824,8 +884,9 @@ def decode_attention(q, k_cache, v_cache, pos, end, block_size: int = None,
     if block_size is None:
         block_size = _pick_block(k_cache.shape[0])
     if k_scale is not None:
-        return _make_decode_attention_q(block_size, interpret, mesh)(
+        return _make_decode_attention_q(block_size, interpret, mesh,
+                                        stats)(
             q, k_cache, v_cache, k_scale, v_scale, pos,
             jnp.asarray(end, jnp.int32))
-    return _make_decode_attention(block_size, interpret, mesh)(
+    return _make_decode_attention(block_size, interpret, mesh, stats)(
         q, k_cache, v_cache, pos, jnp.asarray(end, jnp.int32))

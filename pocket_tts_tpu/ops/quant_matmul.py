@@ -23,6 +23,7 @@ int8 3611, int4 3809 frames/s.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -262,6 +263,21 @@ def _expand_grouped_scale(s, kh):
     return exp_l, exp_h
 
 
+# Grouped-bd formulation knob for hardware micro-iteration (see
+# tools/micro_bd.py): v0 = iota mask + concat hi-dot + ones-dot combine;
+# v1 = v0 with separate hi dots (no concat); v2 = v0 with a sublane-sum
+# combine instead of the ones MXU pass; v4 = K-split capping bd rows at
+# 8 per dot (MXU sublane granularity).
+_BD_VARIANT = os.environ.get("POCKET_TTS_BD_VARIANT", "v0")
+
+
+def _bd_mask(ng, kh, group):
+    f = jnp.float32
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ng, kh), 0)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (ng, kh), 1)
+    return (ri // group == gi).astype(f)
+
+
 def _grouped_bd_acc(x_lo, x_hi, w4, s):
     """T==1 K-grouped int4 WITHOUT the nibble unpack: the rawf32 analog
     for grouped scales. The activation row expands into group-masked
@@ -271,7 +287,7 @@ def _grouped_bd_acc(x_lo, x_hi, w4, s):
     yields both corrections — exactly rawf32's 2 passes + floor, with
     the scales applied in f32 on (ng, nt) partials afterwards (~6 VPU
     ops x ng*nt, vs the dequant path's ~9 per packed WEIGHT byte).
-    Measured B=1 q4_0: 3382 f/s dequant-in-kernel -> see CLAUDE.md r4."""
+    Measured B=1 q4_0: 3382 f/s dequant-in-kernel -> 5212 bd."""
     f = jnp.float32
     kh = w4.shape[0]
     ng = s.shape[0] // 2                  # scale rows per packed half
@@ -280,18 +296,52 @@ def _grouped_bd_acc(x_lo, x_hi, w4, s):
     xh = x_hi.astype(f)
     b32 = w4.astype(f)
     hi32 = jnp.floor(b32 * jnp.asarray(1.0 / 16.0, f))
-    gi = jax.lax.broadcasted_iota(jnp.int32, (ng, kh), 0)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (ng, kh), 1)
-    mask = (ri // group == gi).astype(f)
-    xl_bd = mask * xl                     # (ng, kh) block-diagonal rows
-    xh_bd = mask * xh
-    p_b = jnp.dot(xl_bd, b32, preferred_element_type=f)        # (ng, nt)
-    p_h = jnp.dot(jnp.concatenate([xl_bd, xh_bd], axis=0), hi32,
-                  preferred_element_type=f)                    # (2ng, nt)
-    sig = jnp.sum(xl_bd, axis=1, keepdims=True)                # (ng, 1)
     s32 = s.astype(f)
-    t1 = (s32[:ng] * (p_b - 16.0 * p_h[:ng] - 8.0 * sig)
-          + s32[ng:] * p_h[ng:])
+    if _BD_VARIANT == "v4":
+        # cap bd rows at 8 (one MXU sublane block) by splitting K
+        splits = max(1, ng // 8)
+        ks = kh // splits
+        t1 = None
+        for i in range(splits):
+            sl = slice(i * ks, (i + 1) * ks)
+            gsl = slice(i * (ng // splits), (i + 1) * (ng // splits))
+            m = _bd_mask(ng // splits, ks, group)
+            xlb = m * xl[:, sl]
+            xhb = m * xh[:, sl]
+            pb = jnp.dot(xlb, b32[sl], preferred_element_type=f)
+            phl = jnp.dot(xlb, hi32[sl], preferred_element_type=f)
+            phh = jnp.dot(xhb, hi32[sl], preferred_element_type=f)
+            sig = jnp.sum(xlb, axis=1, keepdims=True)
+            part = (s32[:ng][gsl] * (pb - 16.0 * phl - 8.0 * sig)
+                    + s32[ng:][gsl] * phh)
+            t1 = part if t1 is None else jnp.concatenate([t1, part], 0)
+        ones = jnp.full((1, t1.shape[0]), 1.0, f)
+        return jnp.dot(ones, t1, preferred_element_type=f)
+    if _BD_VARIANT == "v5":
+        # build the bd rows in the ACTIVATION dtype (bf16): the sublane
+        # broadcast of a bf16 row is the mature Mosaic path, and a 0/1
+        # mask times a bf16 value is exact; only the small (ng, kh) bd
+        # tiles are then cast up
+        mask16 = _bd_mask(ng, kh, group).astype(x_lo.dtype)
+        xl_bd = (mask16 * x_lo).astype(f)
+        xh_bd = (mask16 * x_hi).astype(f)
+    else:
+        mask = _bd_mask(ng, kh, group)
+        xl_bd = mask * xl                 # (ng, kh) block-diagonal rows
+        xh_bd = mask * xh
+    p_b = jnp.dot(xl_bd, b32, preferred_element_type=f)        # (ng, nt)
+    if _BD_VARIANT == "v1":
+        p_hl = jnp.dot(xl_bd, hi32, preferred_element_type=f)
+        p_hh = jnp.dot(xh_bd, hi32, preferred_element_type=f)
+    else:
+        p_h = jnp.dot(jnp.concatenate([xl_bd, xh_bd], axis=0), hi32,
+                      preferred_element_type=f)                # (2ng, nt)
+        p_hl, p_hh = p_h[:ng], p_h[ng:]
+    sig = jnp.sum(xl_bd, axis=1, keepdims=True)                # (ng, 1)
+    t1 = (s32[:ng] * (p_b - 16.0 * p_hl - 8.0 * sig)
+          + s32[ng:] * p_hh)
+    if _BD_VARIANT == "v2":
+        return jnp.sum(t1, axis=0, keepdims=True)
     ones = jnp.full((1, ng), 1.0, f)
     return jnp.dot(ones, t1, preferred_element_type=f)         # (1, nt)
 

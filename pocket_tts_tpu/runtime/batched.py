@@ -35,6 +35,11 @@ def _axes_like(state, batched: bool = True):
         fl = fl.replace(end=None)
         if fl.ring_start is not None:   # ring cursor start is shared too
             fl = fl.replace(ring_start=None)
+        if fl.pk is not None:
+            # shared-prefix tables are batch-uniform (THE point: one copy
+            # read for the whole batch); ppos stays per-lane (0)
+            fl = fl.replace(pk=jax.tree.map(lambda _: None, fl.pk),
+                            pv=jax.tree.map(lambda _: None, fl.pv))
         return fl
 
     if isinstance(state, tts.StreamState):
@@ -155,18 +160,30 @@ def batched_decode_sentence(p, cfg, states, rngs, temp, frames_after_eos,
 # ---------------------------------------------------------------------------
 
 def empty_batch_state(p, cfg, b: int, capacity: int, prefix_slots: int,
-                      dtype=jnp.float32, ring: bool = False
-                      ) -> tts.StreamState:
+                      dtype=jnp.float32, ring: bool = False,
+                      prefix_tables=None) -> tts.StreamState:
     """A B-lane batch with every lane idle (done=True) and the shared slot
     cursor parked at `prefix_slots` — the uniform prompt+text budget every
     admission prefills into slots [0, prefix_slots).
 
     ring=True: the cursor wraps inside [prefix_slots, capacity) instead of
     exhausting (backbone.BackboneState.ring_start) — the continuous
-    server's no-compaction mode."""
+    server's no-compaction mode.
+
+    prefix_tables: (pk, pv) shared prompt-KV tables (see
+    backbone.BackboneState) — prefix_slots then budgets TEXT only; each
+    lane's ppos row arrives with its admission. The tables are copied so
+    the donated chunk dispatches recycle the batch's own buffers, never
+    the caller's (the server also keeps them inside its voice states)."""
     one = tts.init_stream_state(p, cfg, dtype)
     one = one.replace(flow=backbone.shrink_state(one.flow, capacity),
                       done=jnp.ones((), bool))
+    if prefix_tables is not None:
+        pk, pv = prefix_tables
+        one = one.replace(flow=one.flow.replace(
+            pk=tuple(jnp.copy(a) for a in pk),
+            pv=tuple(jnp.copy(a) for a in pv),
+            ppos=jnp.full((pk[0].shape[0],), -1, jnp.int32)))
     batch = stack_states([one] * b)
     flow = batch.flow.replace(end=jnp.asarray(prefix_slots, jnp.int32))
     if ring:

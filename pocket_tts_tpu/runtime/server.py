@@ -255,7 +255,8 @@ class ContinuousBatchingServer:
     def __init__(self, engine: TTSEngine, lanes: int = 32,
                  capacity: Optional[int] = None, chunk_frames: int = 5,
                  text_bucket: int = 64, ring: bool = True,
-                 compact_margin: Optional[int] = 128, mesh=None):
+                 compact_margin: Optional[int] = 128, mesh=None,
+                 share_prefix: bool = False):
         # lanes=32 from BENCH r3: aggregate serving throughput still rises
         # through B=32 (27.5k bf16 / 38.3k int4+int8KV) to B=64 (40.1k) and
         # p50 TTFA at 32 lanes stays ~6 ms device-time; 8 lanes left ~4x
@@ -267,6 +268,16 @@ class ContinuousBatchingServer:
         self.chunk_frames = chunk_frames
         self.text_bucket = text_bucket
         self.ring = ring
+        # share_prefix: every lane of a voice attends ONE shared copy of
+        # the voice's prompt KV (backbone.BackboneState.pk/pv) instead of
+        # holding it in its own cache — the prompt bytes (128 of 416
+        # slots in the r3 bench shape) stream from HBM once per frame for
+        # the whole batch, and `capacity` then budgets TEXT + ring only.
+        # vLLM-style prefix sharing; requires ring mode.
+        self.share_prefix = share_prefix
+        if share_prefix:
+            assert ring, "share_prefix requires the prefix+ring KV mode"
+        self._prefix_tables = None
         # (ring=False only) eager compaction: reads scale with the slot
         # cursor, and finished lanes leave garbage rows below it. The host
         # knows every live lane's EXACT valid-row count (prompt rows + text
@@ -304,6 +315,8 @@ class ContinuousBatchingServer:
     @property
     def prefix_slots(self) -> int:
         assert self.prompt_pad is not None, "register_voices first"
+        if self.share_prefix:  # the prompt lives in the shared tables
+            return self.text_bucket
         return self.prompt_pad + self.text_bucket
 
     # -- voices --------------------------------------------------------------
@@ -315,6 +328,7 @@ class ContinuousBatchingServer:
                 for n, a in prompts.items()}
         tp = max(_bucket(a.shape[0], (32, 64, 128, 256))
                  for a in arrs.values())
+        residuals, tables = {}, {}
         for name, a in arrs.items():
             padded = jnp.asarray(
                 np.pad(a, ((0, tp - a.shape[0]), (0, 0))), eng.dtype)
@@ -322,13 +336,34 @@ class ContinuousBatchingServer:
             vstate = tts.jit_prime_voice(
                 eng.params, self.cfg, state, padded,
                 jnp.int32(a.shape[0]))
+            if self.share_prefix:
+                tables[name], vstate = backbone.split_prefix(
+                    vstate, tp, eng.dtype)
             # pre-shrunk to the serving capacity: admission prefill must
             # not re-slice the caches per request
-            if self.capacity < self.cfg.backbone.kv_capacity:
+            if self.capacity < vstate.k[0].shape[-2]:
                 vstate = backbone.shrink_state(vstate, self.capacity)
-            self._voice_states[name] = vstate
+            residuals[name] = vstate
             self._voice_rows[name] = a.shape[0]
         self.prompt_pad = tp
+        if self.share_prefix:
+            # ALL voices' tables concatenate along the slot axis; each
+            # lane's ppos row unmasks only its own voice's segment
+            names = list(arrs)
+            nl = self.cfg.backbone.num_layers
+            pk_all = tuple(jnp.concatenate(
+                [tables[n][0][l] for n in names], 0) for l in range(nl))
+            pv_all = tuple(jnp.concatenate(
+                [tables[n][1][l] for n in names], 0) for l in range(nl))
+            self._prefix_tables = (pk_all, pv_all)
+            pv_total = tp * len(names)
+            for vi, n in enumerate(names):
+                ppos = jnp.full((pv_total,), -1, jnp.int32)
+                ppos = jax.lax.dynamic_update_slice(
+                    ppos, tables[n][2], (vi * tp,))
+                residuals[n] = residuals[n].replace(
+                    pk=pk_all, pv=pv_all, ppos=ppos)
+        self._voice_states.update(residuals)
 
     # -- requests --------------------------------------------------------------
     def submit(self, text: str, voice: str, temp: float = 0.6,
@@ -393,7 +428,8 @@ class ContinuousBatchingServer:
         self._compact_useful = True
         self.batch = empty_batch_state(eng.params, self.cfg, self.lanes,
                                        self.capacity, self.prefix_slots,
-                                       eng.dtype, ring=self.ring)
+                                       eng.dtype, ring=self.ring,
+                                       prefix_tables=self._prefix_tables)
         if self.mesh is not None:
             from ..parallel.sharding import shard_batched_state
             self.batch = shard_batched_state(self.batch, self.mesh)
