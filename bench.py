@@ -277,6 +277,10 @@ def main():
 
     fps_batch_int4 = serving_batch_fps(32)
     fps_batch64_int4 = serving_batch_fps(64)
+    # B=128 rides the row-tiled fused-layer kernels (r4: the monolithic
+    # kernels crash Mosaic above 64 collapsed rows; the tiled re-dispatch
+    # scales past the old B=64 knee — 49.8k vs 47.4k f/s, flat to B=256)
+    fps_batch128_int4 = serving_batch_fps(128)
     # batched roofline: weights read once per frame for ALL streams; KV
     # reads scale with B
     kv_b = (cfg.backbone.num_layers * 2 * 384 * cfg.backbone.d_model
@@ -314,11 +318,12 @@ def main():
     def measure_continuous(lanes, win_chunks, n_win):
         """Steady-state continuous-batching capacity at `lanes`.
 
-        prefix+ring KV (r3): capacity = 160 prefix (128 prompt + 32 text
-        bucket) + 256-frame ring, the snuggest buckets that admit this
-        workload's longest sentence; the full-cache read per frame beats
-        the linear-cursor design's drifting partial reads (and needs no
-        compaction pauses).
+        prefix+ring KV (r3) + SHARED-PREFIX (r4): the 128-slot prompt
+        lives in one head-major table per layer read once per frame for
+        the whole batch (vLLM-style prefix sharing), so per-lane
+        capacity = 32 text bucket + 256-frame ring, the snuggest buckets
+        that admit this workload's longest sentence. Measured r4: 40.6k
+        vs 36.4k unshared at 32 lanes, audio identical.
 
         The profiler drops device events from long traces through this
         environment's TPU tunnel (a 40-chunk trace undercounted device
@@ -330,7 +335,8 @@ def main():
         report 64 lanes at all), hence the caller passes shorter windows
         there."""
         srv = ContinuousBatchingServer(eng, lanes=lanes, chunk_frames=5,
-                                       capacity=416, text_bucket=32)
+                                       capacity=288, text_bucket=32,
+                                       share_prefix=True)
         srv.register_voices(
             {"v": np.asarray(random_voice_prompt(cfg, 120), np.float32)})
         rr = [0]
@@ -454,6 +460,7 @@ def main():
         "batch32_rtf": round(fps_batch / cfg.mimi.frame_rate, 2),
         "batch32_serving_frames_per_second": round(fps_batch_int4, 2),
         "batch64_serving_frames_per_second": round(fps_batch64_int4, 2),
+        "batch128_serving_frames_per_second": round(fps_batch128_int4, 2),
         "serving_continuous_fps": round(fps_continuous, 2),
         "serving_occupancy": round(occupancy, 3),
         "p50_service_ttfa_ms": round(pct(ttfa_svc, 0.50), 2),

@@ -101,6 +101,10 @@ def build_parser():
     p.add_argument("--serve-out", default=None, metavar="DIR",
                    help="output directory for --serve wavs "
                    "(default: serve_out)")
+    p.add_argument("--share-prefix", action="store_true",
+                   help="--serve: hold ONE shared copy of each voice's "
+                        "prompt KV for the whole batch (vLLM-style "
+                        "prefix sharing) instead of one per lane")
     p.add_argument("--lanes", type=int, default=32,
                    help="continuous server decode lanes (--serve; the "
                    "bench knee on v5e is 32-64)")
@@ -156,7 +160,8 @@ def _serve(engine, args, default_voice, model_path):
         print("no requests in input", file=sys.stderr)
         return 1
 
-    srv = ContinuousBatchingServer(engine, lanes=args.lanes)
+    srv = ContinuousBatchingServer(engine, lanes=args.lanes,
+                                   share_prefix=args.share_prefix)
 
     def resolve(name):
         if not isinstance(default_voice, str):

@@ -323,21 +323,28 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
         v_scale=tuple(vs_new) if state.v_scale is not None else None), x
 
 
-def split_prefix(state: BackboneState, p: int, dtype=jnp.bfloat16):
+def split_prefix(state: BackboneState, p: int, num_heads: int,
+                 dtype=jnp.bfloat16):
     """Move slots [0, p) of a primed SOLO state into shared-prefix tables.
 
-    Returns ((pk, pv, ppos), residual): pk/pv per-layer (p, H*D) `dtype`
-    tables (int8-KV rows are dequantized — the tables are read once per
-    frame for a whole batch, so bf16 traffic is negligible and exactness
-    beats re-quantization), ppos the (p,) positions; the residual state
-    keeps slots [p:] with cursors rebased, ready for text prefill."""
+    Returns ((pk, pv, ppos), residual): pk/pv per-layer HEAD-MAJOR
+    (H, p, D) `dtype` tables (int8-KV rows are dequantized — the tables
+    are read once per frame for a whole batch, so bf16 traffic is
+    negligible and exactness beats re-quantization), ppos the (p,)
+    positions; the residual state keeps slots [p:] with cursors rebased,
+    ready for text prefill."""
     quant = state.k_scale is not None
+    hd = state.k[0].shape[-1]
+    d = hd // num_heads
 
     def grab(rows, scale):
         r = rows[:p]
         if quant:
             r = r.astype(jnp.float32) * scale[:p, None]
-        return r.astype(dtype)
+        # flat (p, H*D) cache rows -> head-major (H, p, D) table: a
+        # one-time copy of a read-only array
+        return (r.astype(dtype).reshape(p, num_heads, d)
+                .transpose(1, 0, 2))
 
     pk = tuple(grab(state.k[l], state.k_scale[l] if quant else None)
                for l in range(len(state.k)))

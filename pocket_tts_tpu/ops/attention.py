@@ -159,29 +159,29 @@ def prefix_attn_stats(q, pk, pv, ppos):
     decodes a single stream). The per-lane ring keeps only text+decode
     rows; merge with its partial via merge_attn_partials.
 
-    q: (T, H, D); pk/pv: (P, H*D) flat (bf16); ppos: (P,) int32 (-1 =
-    padding; prompt positions always precede decode positions, so no
-    causal check is needed). Returns (out (T, H, D) f32 NORMALIZED,
-    m (T, H) f32 running max, l (T, H) f32 normalizer).
+    q: (T, H, D); pk/pv: (H, P, D) HEAD-MAJOR tables (read-only, so the
+    layout is free — head-major keeps every intermediate tiny: logits
+    (H, T, P) instead of the seg formulation's (B*T*H, H*D) blow-ups,
+    which were measured to cost more HBM traffic than the sharing
+    saved); ppos: (P,) int32 (-1 = padding; prompt positions always
+    precede decode positions, so no causal check is needed).
+    Returns (out (T, H, D) f32 NORMALIZED, m (T, H) f32 running max,
+    l (T, H) f32 normalizer).
     """
     t, h, d = q.shape
-    p, hd = pk.shape
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
-    th = t * h
-    oh = jax.nn.one_hot(jnp.arange(th) % h, h, dtype=q.dtype)   # (TH, H)
-    qm = (oh[:, :, None] * q.reshape(th, 1, d)).reshape(th, hd)
-    # (P, TH): pk is the shared LHS operand — batching lands on qm only
-    logits = jnp.dot(pk, qm.T, preferred_element_type=jnp.float32) * scale
-    logits = logits + jnp.where(ppos >= 0, 0.0, NEG_INF)[:, None]
-    m = jnp.max(logits, axis=0)                                  # (TH,)
-    w = jnp.exp(logits - m[None, :])
-    l = jnp.sum(w, axis=0)                                       # (TH,)
-    out_full = jnp.dot(w.T.astype(pv.dtype), pv,
-                       preferred_element_type=jnp.float32)       # (TH, HD)
-    out = (out_full.reshape(th, h, d)
-           * oh.astype(jnp.float32)[:, :, None]).sum(axis=1)    # (TH, D)
-    out = out / jnp.maximum(l, 1e-30)[:, None]
-    return out.reshape(t, h, d), m.reshape(t, h), l.reshape(t, h)
+    # batch dim h, contraction d: under vmap the lane batch joins the
+    # free rows, so this is an MXU matmul with pk read once per frame
+    logits = jnp.einsum("thd,hpd->htp", q, pk,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + jnp.where(ppos >= 0, 0.0, NEG_INF)[None, None, :]
+    m = jnp.max(logits, axis=-1)                                 # (H, T)
+    w = jnp.exp(logits - m[..., None])
+    l = jnp.sum(w, axis=-1)                                      # (H, T)
+    wn = (w / jnp.maximum(l, 1e-30)[..., None]).astype(pv.dtype)
+    out = jnp.einsum("htp,hpd->thd", wn, pv,
+                     preferred_element_type=jnp.float32)
+    return out, m.T, l.T
 
 
 def merge_attn_partials(o1, m1, l1, o2, m2, l2):

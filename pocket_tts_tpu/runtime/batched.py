@@ -183,7 +183,7 @@ def empty_batch_state(p, cfg, b: int, capacity: int, prefix_slots: int,
         one = one.replace(flow=one.flow.replace(
             pk=tuple(jnp.copy(a) for a in pk),
             pv=tuple(jnp.copy(a) for a in pv),
-            ppos=jnp.full((pk[0].shape[0],), -1, jnp.int32)))
+            ppos=jnp.full((pk[0].shape[1],), -1, jnp.int32)))
     batch = stack_states([one] * b)
     flow = batch.flow.replace(end=jnp.asarray(prefix_slots, jnp.int32))
     if ring:

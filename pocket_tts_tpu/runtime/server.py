@@ -338,7 +338,7 @@ class ContinuousBatchingServer:
                 jnp.int32(a.shape[0]))
             if self.share_prefix:
                 tables[name], vstate = backbone.split_prefix(
-                    vstate, tp, eng.dtype)
+                    vstate, tp, self.cfg.backbone.num_heads, eng.dtype)
             # pre-shrunk to the serving capacity: admission prefill must
             # not re-slice the caches per request
             if self.capacity < vstate.k[0].shape[-2]:
@@ -351,10 +351,11 @@ class ContinuousBatchingServer:
             # lane's ppos row unmasks only its own voice's segment
             names = list(arrs)
             nl = self.cfg.backbone.num_layers
+            # head-major (H, P, D) tables concatenate along the SLOT axis
             pk_all = tuple(jnp.concatenate(
-                [tables[n][0][l] for n in names], 0) for l in range(nl))
+                [tables[n][0][l] for n in names], 1) for l in range(nl))
             pv_all = tuple(jnp.concatenate(
-                [tables[n][1][l] for n in names], 0) for l in range(nl))
+                [tables[n][1][l] for n in names], 1) for l in range(nl))
             self._prefix_tables = (pk_all, pv_all)
             pv_total = tp * len(names)
             for vi, n in enumerate(names):

@@ -71,10 +71,13 @@ class TestPrefixMath:
         vc = jnp.asarray(rng.randn(s, hd), jnp.float32) * 0.3
         cpos = jnp.asarray([5 + i for i in range(20)] + [-1] * 4,
                            jnp.int32)
+        # head-major tables as split_prefix builds them
+        pk_hm = pk.reshape(p, h, d).transpose(1, 0, 2)
+        pv_hm = pv.reshape(p, h, d).transpose(1, 0, 2)
         for t in (1, 3):
             q = jnp.asarray(rng.randn(t, h, d), jnp.float32) * 0.5
             q_pos = jnp.asarray([25 + i for i in range(t)], jnp.int32)
-            o1, m1, l1 = prefix_attn_stats(q, pk, pv, ppos)
+            o1, m1, l1 = prefix_attn_stats(q, pk_hm, pv_hm, ppos)
             bias = pos_cache_bias(q_pos, cpos)
             if t == 1:
                 o2, m2, l2 = sdpa_decode_seg_stats(q, kc, vc, bias)
@@ -111,7 +114,7 @@ class TestSharePrefix:
         srv.submit(TEXT_B, "va", temp=0.0, rng=jax.random.PRNGKey(7))
         srv.step()
         bf = srv.batch.flow
-        assert bf.pk is not None and bf.pk[0].shape[0] == 2 * srv.prompt_pad
+        assert bf.pk is not None and bf.pk[0].shape[1] == 2 * srv.prompt_pad
         assert bf.k[0].shape[1] == 224          # text + ring only
         # lane 0's ppos unmasks voice va's segment only
         ppos = np.asarray(bf.ppos[0])
