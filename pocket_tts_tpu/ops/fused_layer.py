@@ -575,6 +575,231 @@ def _post_call(x, attn, wo, so, bo, ls1, ls2, norm_scale, norm_bias,
     )(*operands)
 
 
+# ---------------------------------------------------------------------------
+# bilayer: post-attention(layer l) + pre-attention(layer l+1) in ONE call
+# (solo int4 decode only — cuts one Mosaic call boundary per layer; the
+# whole-layer megalayer that also folded the flash phase measured SLOWER
+# than the 3-call path, so this keeps attention in its dedicated kernel)
+# ---------------------------------------------------------------------------
+
+def _bilayer_kernel(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref,
+                    ls2_ref, ns_ref, nb_ref,
+                    w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref, b1b_ref,
+                    w2_ref, s2a_ref, s2b_ref, b2_ref,
+                    nsn_ref, nbn_ref, win_ref, sin_ref, bin_ref,
+                    xn_ref, qkv_ref, x1_s, ln_s, acc_s, lnn_s,
+                    *, bits, eps, approx, nsteps, g2):
+    """Grid (nsteps + npre,): steps < nsteps run layer l's post phases
+    (== _post_kernel); step nsteps-1 additionally closes x_next and its
+    norm1 into scratch; steps >= nsteps emit layer l+1's qkv tiles."""
+    j = pl.program_id(0)
+    f = jnp.float32
+
+    @pl.when(j == 0)
+    def _():
+        x1, ln = _post_x1_ln(x_ref[...].astype(f), at_ref, wo_ref, so_ref,
+                             bo_ref, ls1_ref, ns_ref, nb_ref, bits, eps)
+        x1_s[...] = x1
+        ln_s[...] = ln.astype(ln_s.dtype)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(j < nsteps)
+    def _():
+        def add(a):
+            acc_s[...] += a
+
+        _mlp_add(add, ln_s[...], w1a_ref, s1a_ref, b1a_ref, w1b_ref,
+                 s1b_ref, b1b_ref, w2_ref, s2a_ref, s2b_ref, bits=bits,
+                 approx=approx, g2=g2)
+
+    @pl.when(j == nsteps - 1)
+    def _():
+        up = _post_tail(acc_s[...], s2a_ref, b2_ref, g2)
+        xn = x1_s[...] + ls2_ref[...].astype(f) * up
+        xn_ref[...] = xn.astype(xn_ref.dtype)
+        mean = jnp.mean(xn, axis=-1, keepdims=True)
+        xc = xn - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        ln1 = xc * jax.lax.rsqrt(var + eps)
+        lnn_s[...] = (ln1 * nsn_ref[...].astype(f)
+                      + nbn_ref[...].astype(f)).astype(lnn_s.dtype)
+
+    @pl.when(j >= nsteps)
+    def _():
+        acc = _deq_dot(lnn_s[...], win_ref, sin_ref, bits)
+        b = bin_ref[0] if bin_ref.ndim == 3 else bin_ref[...]
+        qkv_ref[...] = (acc + b.astype(f)).astype(qkv_ref.dtype)
+
+
+def _bilayer_call(x, attn, wo, so, bo, ls1, ls2, norm_scale, norm_bias,
+                  w1, s1, b1, w2, s2, b2, nsn, nbn, win, sin, bin_,
+                  layer, bits, eps, approx, interpret):
+    """T==1 stacked-int4 fused post(l) + pre(l+1). Returns (x_next, qkv).
+    Mirrors _post_call's spec construction; the pre-phase weight tiles
+    index layer+1 with grid-step clamping so post tiles stay resident
+    (never refetched) through the pre steps and vice versa."""
+    t, dm = x.shape
+    hidden = w1.shape[-1]
+    assert t == 1 and bits == 4 and w1.ndim == 3
+    lidx = layer
+    kp1 = w1.shape[-2]
+    kpn = win.shape[-2]
+    n3 = win.shape[-1]
+    kgo = so.shape[-2] if so.ndim == wo.ndim else 1
+    kg1 = s1.shape[-2] if s1.ndim == w1.ndim else 1
+    kgn = sin.shape[-2] if sin.ndim == win.ndim else 1
+    g2 = s2.ndim == w2.ndim and s2.shape[-2] > 1
+
+    nt = _POST_NT
+    span = hidden // 2
+    while nt > 128 and span % nt:
+        nt //= 2
+    nsteps = span // nt
+    nt3 = 1024
+    while n3 % nt3:
+        nt3 //= 2
+    npre = n3 // nt3
+    if g2:
+        group2 = hidden // s2.shape[-2]
+        ntg2 = nt // group2
+
+    def jc(j):
+        return jnp.minimum(j, nsteps - 1)   # clamp for post-phase maps
+
+    def jp(j):
+        return jnp.maximum(j - nsteps, 0)   # clamp for pre-phase maps
+
+    off_b = span // nt
+
+    w1spec = pl.BlockSpec((1, kp1, nt), lambda j, l=lidx: (l, 0, jc(j)),
+                          memory_space=pltpu.VMEM)
+    w1bspec = pl.BlockSpec((1, kp1, nt),
+                           lambda j, l=lidx, o=off_b: (l, 0, jc(j) + o),
+                           memory_space=pltpu.VMEM)
+    s1spec = pl.BlockSpec((1, kg1, nt), lambda j, l=lidx: (l, 0, jc(j)),
+                          memory_space=pltpu.VMEM)
+    s1bspec = pl.BlockSpec((1, kg1, nt),
+                           lambda j, l=lidx, o=off_b: (l, 0, jc(j) + o),
+                           memory_space=pltpu.VMEM)
+    b1aspec = pl.BlockSpec((1, 1, nt), lambda j, l=lidx: (l, 0, jc(j)),
+                           memory_space=pltpu.VMEM)
+    b1bspec = pl.BlockSpec((1, 1, nt),
+                           lambda j, l=lidx, o=off_b: (l, 0, jc(j) + o),
+                           memory_space=pltpu.VMEM)
+    w2spec = pl.BlockSpec((1, nt, dm), lambda j, l=lidx: (l, jc(j), 0),
+                          memory_space=pltpu.VMEM)
+    cmap = lambda j, l=lidx: (l, 0, 0)                      # noqa: E731
+    dmspec = pl.BlockSpec((1, 1, dm), cmap, memory_space=pltpu.VMEM)
+    sospec = pl.BlockSpec((1, kgo, dm), cmap, memory_space=pltpu.VMEM)
+    wospec = pl.BlockSpec((1, wo.shape[-2], dm), cmap,
+                          memory_space=pltpu.VMEM)
+    if g2:
+        s2aspec = pl.BlockSpec((1, ntg2, dm),
+                               lambda j, l=lidx: (l, jc(j), 0),
+                               memory_space=pltpu.VMEM)
+        s2bspec = pl.BlockSpec(
+            (1, ntg2, dm),
+            lambda j, l=lidx, o=span // nt: (l, jc(j) + o, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        s2aspec = s2bspec = dmspec
+    # next layer's pre-phase specs (layer + 1)
+    winspec = pl.BlockSpec((1, kpn, nt3),
+                           lambda j, l=lidx + 1: (l, 0, jp(j)),
+                           memory_space=pltpu.VMEM)
+    sinspec = pl.BlockSpec((1, kgn, nt3),
+                           lambda j, l=lidx + 1: (l, 0, jp(j)),
+                           memory_space=pltpu.VMEM)
+    binspec = pl.BlockSpec((1, 1, nt3),
+                           lambda j, l=lidx + 1: (l, 0, jp(j)),
+                           memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, dm), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((t, dm), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+
+    def r2(a, n, kg=1):
+        return a.reshape(-1, kg, n)
+
+    s2r = r2(s2.astype(f32), dm, s2.shape[-2] if g2 else 1)
+    operands = [x, attn, wo, r2(so.astype(f32), dm, kgo), r2(bo, dm),
+                ls1.reshape(1, dm), ls2.reshape(1, dm),
+                norm_scale.reshape(1, dm), norm_bias.reshape(1, dm),
+                w1, r2(s1.astype(f32), hidden, kg1), r2(b1, hidden),
+                w1, r2(s1.astype(f32), hidden, kg1), r2(b1, hidden),
+                w2, s2r, s2r, r2(b2, dm),
+                nsn.reshape(1, dm), nbn.reshape(1, dm),
+                win, r2(sin.astype(f32), n3, kgn), r2(bin_, n3)]
+    in_specs = [xspec, xspec, wospec, sospec, dmspec, row, row, row, row,
+                w1spec, s1spec, b1aspec, w1bspec, s1bspec, b1bspec,
+                w2spec, s2aspec, s2bspec, dmspec,
+                row, row, winspec, sinspec, binspec]
+    kernel = functools.partial(_bilayer_kernel, bits=bits, eps=eps,
+                               approx=approx, nsteps=nsteps, g2=g2)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nsteps + npre,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((t, dm), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, nt3), lambda j: (0, jp(j)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((t, dm), x.dtype),
+                   jax.ShapeDtypeStruct((t, n3), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((t, dm), jnp.float32),
+                        pltpu.VMEM((t, dm), x.dtype),
+                        pltpu.VMEM((t, dm), jnp.float32),
+                        pltpu.VMEM((t, dm), x.dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 2**20),
+        name="layer_bilayer",
+    )(*operands)
+    return outs[0], outs[1]
+
+
+def bilayer_supported(p, p_next) -> bool:
+    """Solo int4 fast path only: every linear of layer l AND layer
+    l+1's in_proj are stacked int4."""
+    bits = {_qw(p[k])[3] for k in ("in_proj", "out_proj", "linear1",
+                                   "linear2")}
+    wn = _qw(p_next["in_proj"])[0]
+    return (bits == {4} and _qw(p_next["in_proj"])[3] == 4
+            and wn is not None and wn.ndim == 3)
+
+
+def bilayer_post_pre(p, p_next, x, attn, eps: float = 1e-5,
+                     approx: bool = False, interpret: bool = False):
+    """Fused post_attention(p, x, attn) + pre_attention(p_next, ·):
+    returns (x_next (1, dm), qkv_next (1, 3dm)). Requires
+    bilayer_supported(p, p_next) and T == 1."""
+    wo, so, bo, bits = _qw(p["out_proj"])
+    w1, s1, b1, _ = _qw(p["linear1"])
+    w2, s2, b2, _ = _qw(p["linear2"])
+    win, sin, bin_, _ = _qw(p_next["in_proj"])
+    dm = wo.shape[-1]
+    if bo is None:
+        bo = _zeros_like_bias(wo, True, dm)
+    if b1 is None:
+        b1 = _zeros_like_bias(w1, True, w1.shape[-1])
+    if b2 is None:
+        b2 = _zeros_like_bias(w2, True, w2.shape[-1])
+    if bin_ is None:
+        bin_ = _zeros_like_bias(win, True, win.shape[-1])
+    ones = jnp.ones((dm,), x.dtype)
+    ls1 = p.get("layer_scale_1", {}).get("scale", ones)
+    ls2 = p.get("layer_scale_2", {}).get("scale", ones)
+    layer = p["out_proj"].get("_layer", 0)
+    return _bilayer_call(
+        x, attn, wo, so, bo, ls1, ls2, p["norm2"]["scale"],
+        p["norm2"]["bias"], w1, s1, b1, w2, s2, b2,
+        p_next["norm1"]["scale"], p_next["norm1"]["bias"], win, sin, bin_,
+        layer, bits, eps, approx, interpret)
+
+
 def _drop_b(kernel):
     def wrapped(x_ref, at_ref, wo_ref, so_ref, bo_ref, ls1_ref, ls2_ref,
                 ns_ref, nb_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,

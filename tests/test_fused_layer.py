@@ -189,6 +189,31 @@ class TestFusedLayer:
         wp = np.asarray(_unfused_pre(p, x1), np.float32)
         np.testing.assert_allclose(gp, wp, atol=6e-3)
 
+    def test_bilayer_matches_post_then_pre(self):
+        """bilayer_post_pre(l, l+1) == post_attention(l) then
+        pre_attention(l+1), per-channel and grouped int4."""
+        rng = np.random.RandomState(41)
+        dm = CFG.backbone.d_model
+        for group in (0, 32):
+            pq = quantize_params(PARAMS, bits=4, group=group)
+            p0 = slice_layer_params(pq["layers"], 0)
+            p1 = slice_layer_params(pq["layers"], 1)
+            assert fused_layer.bilayer_supported(p0, p1)
+            x = jnp.asarray(rng.randn(1, dm) * 0.3).astype(jnp.bfloat16)
+            a = jnp.asarray(rng.randn(1, dm) * 0.3).astype(jnp.bfloat16)
+            xn, qkv = fused_layer.bilayer_post_pre(p0, p1, x, a,
+                                                   interpret=True)
+            want_xn = fused_layer.post_attention(p0, x, a, interpret=True)
+            want_qkv = fused_layer.pre_attention(p1, want_xn,
+                                                 interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(xn, np.float32), np.asarray(want_xn, np.float32),
+                atol=2e-2, err_msg=f"x_next group={group}")
+            np.testing.assert_allclose(
+                np.asarray(qkv, np.float32),
+                np.asarray(want_qkv, np.float32),
+                atol=2e-2, err_msg=f"qkv group={group}")
+
     def test_batched_rows_collapse(self):
         """vmap over streams == per-stream results (rows are independent,
         weights stream once)."""

@@ -26,7 +26,7 @@ from pocket_tts_tpu.ops.basic import slice_layer_params  # noqa: E402
 which = sys.argv[1] if len(sys.argv) > 1 else "grouped"
 dtype = jnp.bfloat16
 params, cfg = random_params(DEFAULT_CONFIG, seed=0, dtype=dtype)
-group = 0 if which == "perchan" else 32
+group = 32 if which == "grouped" else 0
 pq = quantize_params(params, bits=4, group=group)
 lp = slice_layer_params(pq["layers"], 1)
 dm = cfg.backbone.d_model
@@ -56,11 +56,46 @@ def fetch(out):
     return float(np.asarray(out).ravel()[0])
 
 
+lp0 = slice_layer_params(pq["layers"], 0)
+lp1 = slice_layer_params(pq["layers"], 1)
+
+
+@jax.jit
+def run_pair(x, a):
+    """post(l0) then pre(l1) as two calls — the bilayer's comparator."""
+    def body(i, x):
+        xn = fused_layer.post_attention(lp0, x, a)
+        y = fused_layer.pre_attention(lp1, xn)
+        return (xn + 1e-6 * y[:, :dm]).astype(x.dtype) * 0.5
+    return jax.lax.fori_loop(0, REPS, body, x)
+
+
+@jax.jit
+def run_bilayer(x, a):
+    def body(i, x):
+        xn, y = fused_layer.bilayer_post_pre(lp0, lp1, x, a)
+        return (xn + 1e-6 * y[:, :dm]).astype(x.dtype) * 0.5
+    return jax.lax.fori_loop(0, REPS, body, x)
+
+
 tag = (f"{which} bd={os.environ.get('POCKET_TTS_BD_VARIANT', 'v0')} "
        f"nt={os.environ.get('POCKET_TTS_POST_NT', '512')}")
-fetch(run_post(x1, a1))
-ms, _ = device_ms(lambda: run_post(x1, a1), fetch)
-print(f"{tag} post: {ms * 1e3 / REPS:.2f} us/call", flush=True)
-fetch(run_pre(x1))
-ms, _ = device_ms(lambda: run_pre(x1), fetch)
-print(f"{tag} pre: {ms * 1e3 / REPS:.2f} us/call", flush=True)
+if which == "bilayer":
+    fetch(run_pair(x1, a1))
+    ms, _ = device_ms(lambda: run_pair(x1, a1), fetch)
+    print(f"{tag} post+pre pair: {ms * 1e3 / REPS:.2f} us/iter",
+          flush=True)
+    fetch(run_bilayer(x1, a1))
+    ms, _ = device_ms(lambda: run_bilayer(x1, a1), fetch)
+    print(f"{tag} bilayer: {ms * 1e3 / REPS:.2f} us/iter", flush=True)
+    a = np.asarray(run_pair(x1, a1), np.float32)
+    b = np.asarray(run_bilayer(x1, a1), np.float32)
+    print(f"{tag} pair-vs-bilayer maxdiff {np.abs(a - b).max():.3e}",
+          flush=True)
+else:
+    fetch(run_post(x1, a1))
+    ms, _ = device_ms(lambda: run_post(x1, a1), fetch)
+    print(f"{tag} post: {ms * 1e3 / REPS:.2f} us/call", flush=True)
+    fetch(run_pre(x1))
+    ms, _ = device_ms(lambda: run_pre(x1), fetch)
+    print(f"{tag} pre: {ms * 1e3 / REPS:.2f} us/call", flush=True)
