@@ -63,6 +63,11 @@ class BackboneConfig:
     # 3-call kernels (the megakernel would re-stream weights per stream
     # group). Off until validated/measured on hardware.
     use_megalayer: bool = False
+    # Bilayer kernel for SOLO int4 decode (ops/fused_layer.bilayer_post_pre):
+    # post-attention(l) + pre-attention(l+1) fuse into ONE Pallas call —
+    # one kernel boundary fewer per layer, with the flash-decode kernel
+    # (whose in-megalayer fusion measured SLOWER) left standalone.
+    use_bilayer: bool = False
     # additive bias for masked attention slots: -1e9 (ours, negligible after
     # softmax) vs the reference's -1e5 "can't use infinity" hack
     # (torch.h:124-143). A/B switch for real-weights bit comparison.

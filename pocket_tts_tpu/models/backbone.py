@@ -266,6 +266,94 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
     return x, k_cache, v_cache, k_scale, v_scale
 
 
+def _attend(qkv, k_cache, v_cache, k_scale, v_scale, end, cos, sin,
+            pos_vec, num_heads: int, pallas_mode: str, read_end, cur_pos,
+            fuse_insert):
+    """The attention middle of _layer for the solo T==1 fast path: qkv
+    (1, 3dm) -> (attn (1, dm), caches...). Factored out so the bilayer
+    loop (_forward_bilayer) can interleave it with fused post+pre calls."""
+    dm = k_cache.shape[-1]
+    d = dm // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = apply_rope(q.reshape(1, num_heads, d), cos, sin)
+    k = apply_rope(k.reshape(1, num_heads, d), cos, sin)
+    k_rows = k.reshape(1, dm)
+    v_rows = v.reshape(1, dm)
+    quant = k_cache.dtype == jnp.int8
+    interp = pallas_mode == "interpret"
+    re_ = end if read_end is None else read_end
+    if fuse_insert:
+        from ..ops.pallas_attn import decode_insert_attention
+        if quant:
+            k_q, k_s = quantize_rows(k_rows)
+            v_q, v_s = quantize_rows(v_rows)
+            attn, k_cache, v_cache, k_scale, v_scale = (
+                decode_insert_attention(
+                    q[0], k_q, v_q, cur_pos, k_cache, v_cache, pos_vec,
+                    re_, end, k_scale=k_scale, v_scale=v_scale,
+                    ks_new=k_s[0], vs_new=v_s[0], interpret=interp))
+        else:
+            attn, k_cache, v_cache = decode_insert_attention(
+                q[0], k_rows.astype(k_cache.dtype),
+                v_rows.astype(v_cache.dtype), cur_pos, k_cache, v_cache,
+                pos_vec, re_, end, interpret=interp)
+        return attn.reshape(1, dm), k_cache, v_cache, k_scale, v_scale
+    if quant:
+        k_q, k_s = quantize_rows(k_rows)
+        v_q, v_s = quantize_rows(v_rows)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_q, (end, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_q, (end, 0))
+        k_scale = jax.lax.dynamic_update_slice(k_scale, k_s, (end,))
+        v_scale = jax.lax.dynamic_update_slice(v_scale, v_s, (end,))
+    else:
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_rows.astype(k_cache.dtype), (end, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_rows.astype(v_cache.dtype), (end, 0))
+    from ..ops.pallas_attn import decode_attention
+    attn = decode_attention(q[0], k_cache, v_cache, pos_vec, re_,
+                            k_scale=k_scale, v_scale=v_scale,
+                            interpret=interp)
+    return attn.reshape(1, dm), k_cache, v_cache, k_scale, v_scale
+
+
+def _forward_bilayer(p, cfg: BackboneConfig, state: BackboneState, x,
+                     pos_vec, row_pos, cos, sin, read_end,
+                     pallas_mode: str, gelu_approx: bool):
+    """Solo int4 decode with post(l)+pre(l+1) fused per layer boundary
+    (cfg.use_bilayer): 2L+2 Mosaic calls per frame instead of 3L."""
+    from ..ops import fused_layer
+    from ..ops.basic import slice_layer_params
+    interp = pallas_mode == "interpret"
+    lps = [slice_layer_params(p["layers"], l)
+           for l in range(cfg.num_layers)]
+    qkv = fused_layer.pre_attention(lps[0], x, interpret=interp)
+    k_new, v_new, ks_new, vs_new = [], [], [], []
+    for l in range(cfg.num_layers):
+        ks = state.k_scale[l] if state.k_scale is not None else None
+        vs = state.v_scale[l] if state.v_scale is not None else None
+        attn, k_l, v_l, ks_l, vs_l = _attend(
+            qkv, state.k[l], state.v[l], ks, vs, state.end, cos, sin,
+            pos_vec, cfg.num_heads, pallas_mode, read_end, row_pos[0],
+            cfg.fuse_insert)
+        k_new.append(k_l)
+        v_new.append(v_l)
+        ks_new.append(ks_l)
+        vs_new.append(vs_l)
+        if l + 1 < cfg.num_layers:
+            x, qkv = fused_layer.bilayer_post_pre(
+                lps[l], lps[l + 1], x, attn, approx=gelu_approx,
+                interpret=interp)
+        else:
+            x = fused_layer.post_attention(lps[l], x, attn,
+                                           approx=gelu_approx,
+                                           interpret=interp)
+    return state.replace(
+        k=tuple(k_new), v=tuple(v_new), pos=pos_vec,
+        k_scale=tuple(ks_new) if state.k_scale is not None else None,
+        v_scale=tuple(vs_new) if state.v_scale is not None else None), x
+
+
 def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
             gelu_approx: bool = False):
     """Run T new rows through all layers, writing KV at slot state.end.
@@ -300,6 +388,16 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
     read_end = (None if state.ring_start is None
                 else jnp.asarray(state.k[0].shape[-2] - 1, jnp.int32))
     share = state.pk is not None
+    if (cfg.use_bilayer and pallas_mode != "off" and t == 1
+            and cfg.mesh is None and not share and not cfg.use_megalayer):
+        from ..ops import fused_layer
+        from ..ops.basic import slice_layer_params as _slp
+        l0, l1 = _slp(p["layers"], 0), _slp(p["layers"], 1)
+        if (fused_layer.supported(l0)
+                and fused_layer.bilayer_supported(l0, l1)):
+            return _forward_bilayer(p, cfg, state, x, pos_vec, row_pos,
+                                    cos, sin, read_end, pallas_mode,
+                                    gelu_approx)
     k_new, v_new, ks_new, vs_new = [], [], [], []
     for l in range(cfg.num_layers):
         layer_p = slice_layer_params(p["layers"], l)
