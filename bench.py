@@ -202,6 +202,11 @@ def main():
     fps_int8 = b1_fps(params_q8, cfg)
     fps_int4 = b1_fps(params_q4, cfg)
     del params_q8
+    # q4_0: K-grouped scales at the reference's own Q4_0 granularity
+    # (loader.h:162-173) — the accuracy-mode quantization
+    params_q40 = quantize_params(params, bits=4, group=32)
+    fps_q40 = b1_fps(params_q40, cfg)
+    del params_q40
     # single-stream serving mode: int4 weights + int8 KV cache
     fps_b1_srv = b1_fps(params_q4, cfg_srv)
 
@@ -495,6 +500,7 @@ def main():
         "bytes_per_frame_int4_mb": round(bytes_pf_q4 / 1e6, 1),
         "int8_frames_per_second": round(fps_int8, 2),
         "int4_frames_per_second": round(fps_int4, 2),
+        "q4_0_frames_per_second": round(fps_q40, 2),
         "b1_serving_frames_per_second": round(fps_b1_srv, 2),
         "wall_fps_single": round(frames / wall, 2),
         "wall_fps_batch32": round(frames * B / wallb, 2),

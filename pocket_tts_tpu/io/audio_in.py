@@ -57,7 +57,8 @@ def _read_wav_any(path: str):
                 raise ValueError("no data chunk found")
             tag, size = struct.unpack("<4sI", hdr)
             if tag == b"fmt ":
-                fmt = struct.unpack("<HHIIHH", f.read(size)[:16])
+                raw_fmt = f.read(size + (size & 1))[:size]
+                fmt = struct.unpack("<HHIIHH", raw_fmt[:16])
             elif tag == b"data":
                 data = f.read(size)
                 break
@@ -66,8 +67,13 @@ def _read_wav_any(path: str):
     if fmt is None:
         raise ValueError("no fmt chunk found")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: trust `bits`
-        audio_format = 3 if bits in (32, 64) else 1
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format tag is the first two
+        # bytes of the SubFormat GUID at fmt offset 24 (guessing from the
+        # bit depth would decode extensible 32-bit integer PCM as float)
+        if len(raw_fmt) < 26:
+            raise ValueError("malformed WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        audio_format = struct.unpack("<H", raw_fmt[24:26])[0]
     if audio_format == 3:  # IEEE float
         dt = np.float32 if bits == 32 else np.float64
         x = np.frombuffer(data, dt).astype(np.float32)
@@ -282,11 +288,23 @@ def _decode_via_ffmpeg(path: str, sample_rate: Optional[int]):
     pcm = np.frombuffer(proc.stdout, np.float32)
     if sample_rate:
         return pcm, sample_rate
-    prob = subprocess.run(
-        ["ffprobe", "-v", "error", "-select_streams", "a:0",
-         "-show_entries", "stream=sample_rate", "-of", "csv=p=0", path],
-        capture_output=True)
-    return pcm, int(prob.stdout.strip() or 0)
+    # no target rate: the caller needs the source rate, which only
+    # ffprobe reports. A missing/failed ffprobe must be an error here —
+    # returning rate 0 poisons any downstream resample (gcd(sr, 0)).
+    try:
+        prob = subprocess.run(
+            ["ffprobe", "-v", "error", "-select_streams", "a:0",
+             "-show_entries", "stream=sample_rate", "-of", "csv=p=0",
+             path],
+            capture_output=True)
+        sr = int(prob.stdout.strip() or 0)
+    except (FileNotFoundError, ValueError):
+        sr = 0
+    if sr <= 0:
+        raise RuntimeError(
+            f"could not determine the sample rate of {path} (ffprobe "
+            "missing or no audio stream); pass sample_rate= explicitly")
+    return pcm, sr
 
 
 def load_audio(path: str, sample_rate: Optional[int] = None):

@@ -393,6 +393,10 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
         from ..ops import fused_layer
         from ..ops.basic import slice_layer_params as _slp
         l0, l1 = _slp(p["layers"], 0), _slp(p["layers"], 1)
+        # gating on the (0, 1) pair covers every pair: backbone layers
+        # are quantized as ONE stacked (L, ...) array (io/quant.py), so
+        # slice_layer_params views share layout across l — mixed-layout
+        # layers cannot arise on this path
         if (fused_layer.supported(l0)
                 and fused_layer.bilayer_supported(l0, l1)):
             return _forward_bilayer(p, cfg, state, x, pos_vec, row_pos,

@@ -344,8 +344,13 @@ def _mlp_add(add, ln, w1a_ref, s1a_ref, b1a_ref, w1b_ref, s1b_ref, b1b_ref,
             h = _deq_dot(ln, w1_ref, s1_ref, bits)
             b1 = b1_ref[0] if b1_ref.ndim == 3 else b1_ref[...]
             hs.append(_gelu_f32(h + b1.astype(f), approx))
-        ha, hb = (hs[0].astype(ln.dtype), hs[1].astype(ln.dtype)) \
-            if ln.shape[0] > 1 else hs
+        # cast the gelu halves to the activation dtype in BOTH row
+        # regimes: grouped_int4_acc's bd fast path requires bf16 rows
+        # (Mosaic rejects the sublane broadcast of a NATIVE f32 row —
+        # f32 h would silently fall to the dequant path at T==1), and
+        # the MXU's DEFAULT-precision input truncation rounds f32
+        # operands to bf16 in the datapath anyway
+        ha, hb = hs[0].astype(ln.dtype), hs[1].astype(ln.dtype)
         add(grouped_int4_acc(ha, hb, w2p,
                              jnp.concatenate([s2a, s2b], axis=0)))
         return

@@ -293,6 +293,10 @@ class ContinuousBatchingServer:
         # decode cfg for THIS mesh (never raw engine.cfg — see mesh_cfg)
         self.cfg = mesh_cfg(engine.cfg, mesh)
         self._voice_states: Dict[str, backbone.BackboneState] = {}
+        # share_prefix: per-voice (pk, pv, ppos) from split_prefix, kept so
+        # incremental register_voices calls can rebuild the concatenated
+        # tables over ALL voices (not just the latest call's)
+        self._voice_tables: Dict[str, tuple] = {}
         self.prompt_pad: Optional[int] = None
         self._queue: List[Request] = []
         self._live: List[Optional[Request]] = [None] * lanes
@@ -322,13 +326,23 @@ class ContinuousBatchingServer:
     # -- voices --------------------------------------------------------------
     def register_voices(self, prompts: Dict[str, np.ndarray]):
         """Prime each voice at a COMMON prompt bucket so every admission's
-        prefill lands exactly on the uniform prefix budget."""
+        prefill lands exactly on the uniform prefix budget.
+
+        Callable again to add voices. Anything that changes the lane
+        cache shapes — the serving capacity tightening to what the voice
+        residuals actually hold, the prefix budget growing, or (share
+        mode) the concatenated prompt tables growing — forces a fresh
+        epoch, so incremental registration requires an idle server
+        (no live requests); queued requests survive."""
         eng = self.engine
         arrs = {n: np.asarray(a, np.float32).reshape(-1, a.shape[-1])
                 for n, a in prompts.items()}
         tp = max(_bucket(a.shape[0], (32, 64, 128, 256))
                  for a in arrs.values())
-        residuals, tables = {}, {}
+        # monotonic across incremental calls: earlier voices were primed
+        # at the old bucket and must still fit the shared prefix budget
+        tp = max(tp, self.prompt_pad or 0)
+        residuals = {}
         for name, a in arrs.items():
             padded = jnp.asarray(
                 np.pad(a, ((0, tp - a.shape[0]), (0, 0))), eng.dtype)
@@ -337,34 +351,63 @@ class ContinuousBatchingServer:
                 eng.params, self.cfg, state, padded,
                 jnp.int32(a.shape[0]))
             if self.share_prefix:
-                tables[name], vstate = backbone.split_prefix(
+                self._voice_tables[name], vstate = backbone.split_prefix(
                     vstate, tp, self.cfg.backbone.num_heads, eng.dtype)
-            # pre-shrunk to the serving capacity: admission prefill must
-            # not re-slice the caches per request
-            if self.capacity < vstate.k[0].shape[-2]:
-                vstate = backbone.shrink_state(vstate, self.capacity)
             residuals[name] = vstate
             self._voice_rows[name] = a.shape[0]
+        # Lane caches must match the voice caches EXACTLY (admission
+        # copies voice rows into lanes), so the serving capacity clamps
+        # to what a residual actually holds: kv_capacity - prompt_pad in
+        # share mode (the prompt moved out to the tables), kv_capacity
+        # otherwise. An explicit smaller `capacity` shrinks further.
+        avail = min(v.k[0].shape[-2] for v in residuals.values())
+        new_cap = min(self.capacity, avail)
+        changed = (new_cap != self.capacity
+                   or tp != (self.prompt_pad or tp))
+        if new_cap < self.capacity:
+            # tighten previously registered voices to the new budget too
+            self._voice_states = {
+                n: backbone.shrink_state(v, new_cap)
+                for n, v in self._voice_states.items()}
+            self.capacity = new_cap
+        residuals = {n: (backbone.shrink_state(v, self.capacity)
+                         if self.capacity < v.k[0].shape[-2] else v)
+                     for n, v in residuals.items()}
         self.prompt_pad = tp
+        self._voice_states.update(residuals)
         if self.share_prefix:
             # ALL voices' tables concatenate along the slot axis; each
-            # lane's ppos row unmasks only its own voice's segment
-            names = list(arrs)
+            # lane's ppos row unmasks only its own voice's segment.
+            # Rebuilt over every registered voice so incremental calls
+            # keep earlier voices attending their own (re-offset) rows.
+            names = list(self._voice_tables)
             nl = self.cfg.backbone.num_layers
             # head-major (H, P, D) tables concatenate along the SLOT axis
             pk_all = tuple(jnp.concatenate(
-                [tables[n][0][l] for n in names], 1) for l in range(nl))
+                [self._voice_tables[n][0][l] for n in names], 1)
+                for l in range(nl))
             pv_all = tuple(jnp.concatenate(
-                [tables[n][1][l] for n in names], 1) for l in range(nl))
+                [self._voice_tables[n][1][l] for n in names], 1)
+                for l in range(nl))
+            if (self._prefix_tables is not None
+                    and pk_all[0].shape != self._prefix_tables[0][0].shape):
+                changed = True
             self._prefix_tables = (pk_all, pv_all)
-            pv_total = tp * len(names)
-            for vi, n in enumerate(names):
+            pv_total = pk_all[0].shape[1]
+            off = 0
+            for n in names:
+                seg = self._voice_tables[n][2]
                 ppos = jnp.full((pv_total,), -1, jnp.int32)
-                ppos = jax.lax.dynamic_update_slice(
-                    ppos, tables[n][2], (vi * tp,))
-                residuals[n] = residuals[n].replace(
+                ppos = jax.lax.dynamic_update_slice(ppos, seg, (off,))
+                off += seg.shape[0]
+                self._voice_states[n] = self._voice_states[n].replace(
                     pk=pk_all, pv=pv_all, ppos=ppos)
-        self._voice_states.update(residuals)
+        if changed and self.batch is not None:
+            if any(r is not None for r in self._live):
+                raise ValueError(
+                    "register_voices changed the lane cache shapes while "
+                    "requests are live; drain the server first")
+            self.batch = None  # next _admit builds a fresh epoch
 
     # -- requests --------------------------------------------------------------
     def submit(self, text: str, voice: str, temp: float = 0.6,

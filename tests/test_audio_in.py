@@ -135,6 +135,39 @@ class TestWavDecode:
         want = (left + right).astype(np.float32) / 2 / 32768.0
         np.testing.assert_allclose(pcm, want, atol=1e-6)
 
+    def _wav_extensible(self, tmp_path, sub_fmt, channels, bits, payload):
+        """WAVE_FORMAT_EXTENSIBLE (0xFFFE) with the real tag in the
+        SubFormat GUID — the 40-byte fmt chunk pro tools write."""
+        path = str(tmp_path / "x.wav")
+        guid = struct.pack("<H", sub_fmt) + bytes.fromhex(
+            "0000000010008000 00aa00389b71".replace(" ", ""))
+        fmt = struct.pack("<HHIIHHHHI", 0xFFFE, channels, 24000,
+                          24000 * channels * bits // 8,
+                          channels * bits // 8, bits, 22, bits,
+                          (1 << channels) - 1) + guid
+        hdr = (struct.pack("<4sI4s", b"RIFF", 20 + len(fmt) + len(payload),
+                           b"WAVE")
+               + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+               + struct.pack("<4sI", b"data", len(payload)))
+        with open(path, "wb") as f:
+            f.write(hdr + payload)
+        return path
+
+    def test_extensible_int32_pcm(self, tmp_path):
+        """32-bit integer PCM under 0xFFFE must decode as PCM (the
+        SubFormat GUID says so), not be guessed as float from the depth."""
+        vals = np.array([0, 2**31 - 1, -2**31, 123456], np.int32)
+        p = self._wav_extensible(tmp_path, 1, 1, 32, vals.tobytes())
+        pcm, sr = load_audio(p)
+        assert sr == 24000
+        np.testing.assert_allclose(pcm, vals / 2**31, atol=1e-7)
+
+    def test_extensible_float32(self, tmp_path):
+        x = (np.random.RandomState(2).randn(64) * 0.5).astype(np.float32)
+        p = self._wav_extensible(tmp_path, 3, 1, 32, x.tobytes())
+        pcm, _ = load_audio(p)
+        assert np.array_equal(pcm, x)
+
     def test_resample_on_load(self, tmp_path):
         x = np.sin(2 * np.pi * 440 * np.arange(24000) / 24000)
         p = str(tmp_path / "s.wav")

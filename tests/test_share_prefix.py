@@ -122,6 +122,44 @@ class TestSharePrefix:
         assert (ppos[srv.prompt_pad:] == -1).all()
         srv.run_pending()
 
+    def test_default_capacity_admits(self):
+        """capacity=None (exactly what `cli.py --serve --share-prefix`
+        constructs) must clamp to what the post-split voice residuals
+        hold — kv_capacity - prompt_pad — so the first admission's lane
+        write matches shapes instead of crashing."""
+        srv = make_server(make_engine(), True)     # capacity=None
+        assert srv.capacity == CFG.backbone.kv_capacity - srv.prompt_pad
+        req = srv.submit(TEXT_B, "va", temp=0.0, rng=jax.random.PRNGKey(5))
+        srv.run_pending()
+        assert np.asarray(req.pcm).size > 0
+
+    def test_incremental_registration(self):
+        """A second register_voices call rebuilds the concatenated tables
+        over ALL voices (same audio as registering both up front) and
+        refuses to change shapes under live requests."""
+        reqs = [(TEXT_B, "vb", 202), (TEXT_B, "va", 303)]
+        base = run_requests(make_server(make_engine(), True,
+                                        capacity=224), reqs)
+        eng = make_engine()
+        srv = ContinuousBatchingServer(eng, lanes=2, chunk_frames=4,
+                                       text_bucket=32, capacity=224,
+                                       share_prefix=True)
+        srv.register_voices(
+            {"va": np.asarray(random_voice_prompt(CFG, 12, seed=1))})
+        srv.register_voices(
+            {"vb": np.asarray(random_voice_prompt(CFG, 16, seed=2))})
+        got = run_requests(srv, reqs)
+        for i, (a, b) in enumerate(zip(base, got)):
+            assert a.shape == b.shape, (i, a.shape, b.shape)
+            np.testing.assert_allclose(a, b, atol=2e-3, err_msg=f"req {i}")
+        # a shape-changing registration under a live request must refuse
+        srv.submit(TEXT_A, "va", temp=0.3, rng=jax.random.PRNGKey(9))
+        srv.step()
+        with np.testing.assert_raises(ValueError):
+            srv.register_voices(
+                {"vc": np.asarray(random_voice_prompt(CFG, 20, seed=3))})
+        srv.run_pending()
+
     def test_ring_wrap_with_shared_prefix(self):
         """Enough sequential requests to wrap the shared ring cursor:
         both servers run the same 192-slot ring (the shared one without
