@@ -57,11 +57,21 @@ def shard_params(params, mesh: Mesh):
     return jax.device_put(params, param_shardings(params, mesh))
 
 
-def _spec_for_state(path: str, ndim: int) -> P:
+def _spec_for_state(path: str, ndim: int, shape=None, mesh=None) -> P:
     """Batched stream-state sharding: leading batch dim over "data"; KV head
     dim (axis -2 of (B, L, S, H, Dh)) over "model"."""
     if ndim == 0:
         return P()
+    if ".pk[" in path or ".pv[" in path:
+        # shared-prefix prompt tables: head-major (H, P, D) and
+        # batch-UNBATCHED (one copy per batch, not per lane) — replicate
+        # over "data", slice the head axis over "model" to line up with
+        # the head-sliced attention (the default data-leading spec would
+        # wrongly scatter heads across the data axis). H is smaller than
+        # the H*D the cache specs split, so check divisibility here.
+        mdl = ("model" if shape is None or mesh is None
+               or shape[0] % mesh.shape["model"] == 0 else None)
+        return P(mdl, *([None] * (ndim - 1)))
     if ndim >= 3 and (".k[" in path or ".v[" in path):
         # batched flat cache (B, S, H*Dh) or (B, cap, H, Dh): shard the
         # head-carrying trailing dims over "model"
@@ -76,7 +86,8 @@ def batched_state_shardings(state, mesh: Mesh):
     specs = []
     for path, leaf in flat:
         pstr = jax.tree_util.keystr(path)
-        specs.append(NamedSharding(mesh, _spec_for_state(pstr, np.ndim(leaf))))
+        specs.append(NamedSharding(mesh, _spec_for_state(
+            pstr, np.ndim(leaf), np.shape(leaf), mesh)))
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 

@@ -202,6 +202,47 @@ class TestShardMapPallas:
         np.testing.assert_allclose(np.asarray(pcm_sh), np.asarray(pcm_ref),
                                    atol=1e-4)
 
+    def test_sharded_share_prefix_server_matches_unsharded(self):
+        """Shared-prefix continuous serving under a TPxDP mesh: the
+        unbatched head-major pk/pv tables replicate over "data" and
+        head-slice over "model" (parallel/sharding._spec_for_state)
+        while prefix_attn_stats + the flash-partial merge run as GSPMD
+        XLA around the shard_map'd decode kernel. Audio must equal the
+        unmeshed shared server's."""
+        import dataclasses
+        from pocket_tts_tpu.runtime.server import ContinuousBatchingServer
+
+        def cap256(cfg):
+            # share mode clamps capacity to kv_capacity - prompt_pad; the
+            # tiny default leaves too few ring slots for a sentence
+            return dataclasses.replace(cfg, backbone=dataclasses.replace(
+                cfg.backbone, kv_capacity=256))
+
+        def run(mesh):
+            eng = TTSEngine(params=PARAMS,
+                            cfg=cap256(self._pallas_cfg() if mesh else CFG),
+                            seed=0,
+                            tokenizer=MockTokenizer(CFG.lut.n_bins))
+            srv = ContinuousBatchingServer(eng, lanes=4, chunk_frames=4,
+                                           text_bucket=32, mesh=mesh,
+                                           share_prefix=True)
+            srv.register_voices({
+                "va": np.asarray(random_voice_prompt(CFG, 12, seed=1)),
+                "vb": np.asarray(random_voice_prompt(CFG, 16, seed=2))})
+            reqs = [srv.submit("A mesh lane decodes this.", "va",
+                               temp=0.3, rng=jax.random.PRNGKey(5)),
+                    srv.submit("Another voice joins.", "vb",
+                               temp=0.3, rng=jax.random.PRNGKey(6))]
+            srv.run_pending()
+            return [np.asarray(r.pcm) for r in reqs]
+
+        base = run(None)
+        mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+        got = run(mesh)
+        for i, (a, b) in enumerate(zip(base, got)):
+            assert a.shape == b.shape, (i, a.shape, b.shape)
+            np.testing.assert_allclose(a, b, atol=2e-3, err_msg=f"req {i}")
+
     def test_servers_build_cfg_through_mesh_cfg(self):
         """A server given a mesh must never hand raw engine.cfg to decode
         programs (the r2 latent multi-chip crash): its cfg must either
