@@ -1,6 +1,6 @@
 """Per-op device-time attribution of one decode config on TPU.
 
-Usage: python /tmp/attrib.py [b1int4|b1bf16|b32srv|cont]
+Usage: python /tmp/attrib.py [b1int4|b1bf16|b32srv|b128srv|cont]
 Dumps top ops by summed device time across the traced run, per-frame cost.
 """
 import glob
@@ -47,7 +47,7 @@ cfg_srv = dataclasses.replace(cfg, backbone=dataclasses.replace(
 # batch modes resolve through mesh_cfg(None) like the shipping
 # BatchedEngine (fuse_insert auto-on at batch)
 from pocket_tts_tpu.runtime.batched import mesh_cfg  # noqa: E402
-if mode.startswith("b32"):
+if mode.startswith(("b32", "b64", "b128")):
     cfg = mesh_cfg(cfg, None)
     cfg_srv = mesh_cfg(cfg_srv, None)
 
@@ -57,7 +57,7 @@ elif mode == "b1q40scan":
     params_x, cfg_x = quantize_params(params, bits=4, group=32), cfg
 elif mode == "b1bf16":
     params_x, cfg_x = params, cfg
-elif mode == "b32srv":
+elif mode in ("b32srv", "b64srv", "b128srv"):
     params_x, cfg_x = quantize_params(params, bits=4), cfg_srv
 else:
     raise SystemExit(f"unknown mode {mode}")
@@ -92,7 +92,7 @@ else:
                                                 batched_prime_voice,
                                                 batched_sentence_prefill,
                                                 stack_states)
-    B = 32
+    B = int(mode[1:].replace("srv", ""))
     prompts = jnp.asarray(np.stack(
         [np.pad(random_voice_prompt(cfg, 120, seed=i), ((0, 8), (0, 0)))
          for i in range(B)])).astype(dtype)
