@@ -178,7 +178,7 @@ def params_from_flat(flat: Dict[str, np.ndarray],
     layers = []
     for i in range(bb_layers):
         pre = f"flow_lm.transformer.layers.{i}."
-        layers.append({
+        layer = {
             "norm1": _norm(flat, pre + "norm1", dtype),
             "in_proj": _rope_permute(
                 _lin(flat, pre + "self_attn.in_proj", dtype),
@@ -187,7 +187,22 @@ def params_from_flat(flat: Dict[str, np.ndarray],
             "norm2": _norm(flat, pre + "norm2", dtype),
             "linear1": _lin(flat, pre + "linear1", dtype),
             "linear2": _lin(flat, pre + "linear2", dtype),
-        })
+        }
+        # optional cross-attention sub-block (present iff the checkpoint
+        # ships the weights; dead in shipped pocket-tts models —
+        # defaults.h:18 — but the reference compiles the path:
+        # "lm.transformer.layers.N.cross_attention",
+        # mimi_transformer.h:294,868-871). The cross in_proj is NOT
+        # rope-permuted: the cross path applies no RoPE.
+        x_in = _lin(flat, pre + "cross_attention.in_proj", dtype,
+                    required=False)
+        if x_in is not None:
+            layer["norm_cross"] = _norm(flat, pre + "norm_cross", dtype)
+            layer["cross_attention"] = {
+                "in_proj": x_in,
+                "out_proj": _lin(flat, pre + "cross_attention.out_proj",
+                                 dtype)}
+        layers.append(layer)
     p["layers"] = _stack(layers)
 
     # --- flow net ----------------------------------------------------------

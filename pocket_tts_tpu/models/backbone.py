@@ -23,9 +23,10 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import BackboneConfig
-from ..ops.attention import (merge_attn_partials, pos_cache_bias,
-                             prefix_attn_stats, sdpa, sdpa_decode_seg,
-                             sdpa_decode_seg_stats, sdpa_seg_stats)
+from ..ops.attention import (cross_attention, merge_attn_partials,
+                             pos_cache_bias, prefix_attn_stats, sdpa,
+                             sdpa_decode_seg, sdpa_decode_seg_stats,
+                             sdpa_seg_stats)
 from ..ops.basic import gelu, layer_norm, linear
 from ..ops.rope import apply_rope_halves as apply_rope, rope_cos_sin
 
@@ -75,6 +76,14 @@ class BackboneState:
     pk: tuple = None
     pv: tuple = None
     ppos: jax.Array = None
+    # Cross-attention conditioning KV (per-layer tuples of (S_c, H, D)),
+    # computed ONCE from the conditioning sequence by init_cross and read
+    # every step — the functional analog of the reference's cached
+    # k_cross/v_cross state (mimi_transformer.h:314-338). None (the
+    # shipped-checkpoint case: defaults.h:18 cross_attention=false) makes
+    # the fields vanish from the pytree. Per-lane under vmap.
+    xk: tuple = None
+    xv: tuple = None
 
 
 def init_state(cfg: BackboneConfig, dtype=jnp.float32) -> BackboneState:
@@ -94,6 +103,27 @@ def init_state(cfg: BackboneConfig, dtype=jnp.float32) -> BackboneState:
     )
 
 
+def init_cross(p, cfg: BackboneConfig, state: BackboneState,
+               cond) -> BackboneState:
+    """Fill the cross-attention KV cache from a conditioning sequence.
+
+    cond: (S_c, d_model). Mirrors the reference's once-per-stream smha
+    init (mimi_transformer.h:343-396): each layer's k_cross/v_cross come
+    from its cross_attention.in_proj applied to cond. Requires the
+    checkpoint to ship cross weights ("cross_attention" in p["layers"]).
+    """
+    from ..ops.attention import cross_attn_kv
+    from ..ops.basic import slice_layer_params
+    xk, xv = [], []
+    for l in range(cfg.num_layers):
+        layer_p = slice_layer_params(p["layers"], l)
+        k, v = cross_attn_kv(layer_p["cross_attention"]["in_proj"], cond,
+                             cfg.num_heads)
+        xk.append(k)
+        xv.append(v)
+    return state.replace(xk=tuple(xk), xv=tuple(xv))
+
+
 def quantize_rows(x):
     """(T, H*D) -> (int8 rows, (T,) f32 absmax scales)."""
     s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
@@ -106,7 +136,7 @@ def quantize_rows(x):
 def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
            pos_vec, num_heads: int, gelu_approx: bool, pallas_mode: str,
            mesh=None, read_end=None, cur_pos=None, fuse_insert=True,
-           use_megalayer=False, prefix=None):
+           use_megalayer=False, prefix=None, cross=None):
     """One pre-LN layer. ref: streaming_transformer_layer_forward,
     transformer.h:253-278; attention transformer.h:55-199.
 
@@ -120,7 +150,7 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
     fused = False
     # mesh is None: the fused layer kernels have no GSPMD partitioning (and
     # TP shards their weights) — under a mesh the XLA linears handle TP
-    if pallas_mode != "off" and t == 1 and mesh is None:
+    if pallas_mode != "off" and t == 1 and mesh is None and cross is None:
         from ..ops import fused_layer
         fused = fused_layer.supported(p)
     if fused and use_megalayer:
@@ -191,10 +221,8 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
                 p, x, attn1.reshape(t, dm), approx=gelu_approx,
                 interpret=interp)
         else:
-            x = x + linear(p["out_proj"], attn1.reshape(t, dm))
-            h = layer_norm(p["norm2"], x, eps=1e-5)
-            x = x + linear(p["linear2"],
-                           gelu(linear(p["linear1"], h), gelu_approx))
+            x = _post_ff(p, x, attn1.reshape(t, dm), cross, num_heads,
+                         gelu_approx)
         return x, k_cache, v_cache, k_scale, v_scale
     if quant:
         k_q, k_s = quantize_rows(k_rows)
@@ -259,11 +287,25 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, end, cos, sin, bias,
             p, x, attn.reshape(t, dm), approx=gelu_approx,
             interpret=(pallas_mode == "interpret"))
     else:
-        x = x + linear(p["out_proj"], attn.reshape(t, dm))
-        h = layer_norm(p["norm2"], x, eps=1e-5)
-        x = x + linear(p["linear2"],
-                       gelu(linear(p["linear1"], h), gelu_approx))
+        x = _post_ff(p, x, attn.reshape(t, dm), cross, num_heads,
+                     gelu_approx)
     return x, k_cache, v_cache, k_scale, v_scale
+
+
+def _post_ff(p, x, attn_rows, cross, num_heads: int, gelu_approx: bool):
+    """Unfused layer tail: out_proj residual, optional cross-attention
+    sub-block, MLP residual. Cross-attention sits BETWEEN the self-attn
+    residual and the FF block, with its own LayerNorm and a residual add
+    (ref: moshi_streaming_transformer_layer,
+    src/pocket_tts/modules/mimi_transformer.h:939-947)."""
+    x = x + linear(p["out_proj"], attn_rows)
+    if cross is not None:
+        cq = layer_norm(p["norm_cross"], x, eps=1e-5)
+        x = x + cross_attention(p["cross_attention"], cq, cross[0],
+                                cross[1], num_heads)
+    h = layer_norm(p["norm2"], x, eps=1e-5)
+    return x + linear(p["linear2"],
+                      gelu(linear(p["linear1"], h), gelu_approx))
 
 
 def _attend(qkv, k_cache, v_cache, k_scale, v_scale, end, cos, sin,
@@ -388,8 +430,14 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
     read_end = (None if state.ring_start is None
                 else jnp.asarray(state.k[0].shape[-2] - 1, jnp.int32))
     share = state.pk is not None
+    # cross-attention layers take the plain composed path: the fused
+    # kernels bake the out_proj->norm2->MLP tail with no cross sub-block
+    # (dead in shipped checkpoints — correctness over fusion here, like
+    # mimi's gating path)
+    has_cross = state.xk is not None
     if (cfg.use_bilayer and pallas_mode != "off" and t == 1
-            and cfg.mesh is None and not share and not cfg.use_megalayer):
+            and cfg.mesh is None and not share and not has_cross
+            and not cfg.use_megalayer):
         from ..ops import fused_layer
         from ..ops.basic import slice_layer_params as _slp
         l0, l1 = _slp(p["layers"], 0), _slp(p["layers"], 1)
@@ -411,10 +459,11 @@ def forward(p, cfg: BackboneConfig, state: BackboneState, x, n_valid=None,
             layer_p, x, state.k[l], state.v[l], ks, vs, state.end, cos, sin,
             bias, pos_vec, cfg.num_heads, gelu_approx, pallas_mode,
             mesh=cfg.mesh, read_end=read_end, cur_pos=row_pos[0],
-            fuse_insert=cfg.fuse_insert,
-            use_megalayer=cfg.use_megalayer and not share,
+            fuse_insert=cfg.fuse_insert and not has_cross,
+            use_megalayer=cfg.use_megalayer and not share and not has_cross,
             prefix=((state.pk[l], state.pv[l], state.ppos) if share
-                    else None))
+                    else None),
+            cross=((state.xk[l], state.xv[l]) if has_cross else None))
         k_new.append(k_l)
         v_new.append(v_l)
         ks_new.append(ks_l)

@@ -184,6 +184,53 @@ def prefix_attn_stats(q, pk, pv, ppos):
     return out, m.T, l.T
 
 
+def cross_attn_kv(in_proj, cond, num_heads: int):
+    """Precompute a cross-attention KV cache from a conditioning sequence.
+
+    The reference computes k/v ONCE at state init from `condition_cross`
+    through rows [d, 3d) of the shared in_proj and caches them for the
+    stream's lifetime (moshi_smha init, ref
+    src/pocket_tts/modules/mimi_transformer.h:343-396). Here the full
+    in_proj runs and the q third is dropped — a once-per-stream cost that
+    keeps every quantized weight layout working unchanged (slicing a
+    packed int4/int8 weight would need its own kernel path for a module
+    that is DEAD in the shipped checkpoints: defaults.h:18 sets
+    cross_attention=false, but the reference compiles the path, so the
+    framework carries it too).
+
+    cond: (S, d_model) -> (k, v) each (S, H, D), no RoPE (the reference's
+    cross path applies none).
+    """
+    from .basic import linear
+    s = cond.shape[0]
+    qkv = linear(in_proj, cond)                     # (S, 3*d_model)
+    d_model = qkv.shape[-1] // 3
+    k = qkv[:, d_model:2 * d_model]
+    v = qkv[:, 2 * d_model:]
+    return (k.reshape(s, num_heads, d_model // num_heads),
+            v.reshape(s, num_heads, d_model // num_heads))
+
+
+def cross_attention(p, x, xk, xv, num_heads: int):
+    """Cross-attention over a precomputed conditioning KV cache.
+
+    q = rows [0, d) of the shared in_proj applied to x; non-causal,
+    unmasked SDPA against the cached (k, v); out_proj back to d_model.
+    ref: moshi_streaming_multihead_cross_attention,
+    src/pocket_tts/modules/mimi_transformer.h:714-762 (asserts non-causal,
+    single in/out proj).
+
+    p: {"in_proj": {...}, "out_proj": {...}}; x: (T, d_model);
+    xk/xv: (S, H, D). Returns (T, d_model).
+    """
+    from .basic import linear
+    t, dm = x.shape
+    q3 = linear(p["in_proj"], x)                    # (T, 3*d_model)
+    q = q3[:, :dm].reshape(t, num_heads, dm // num_heads)
+    out = sdpa(q, xk, xv)
+    return linear(p["out_proj"], out.reshape(t, dm))
+
+
 def merge_attn_partials(o1, m1, l1, o2, m2, l2):
     """Exact flash merge of two NORMALIZED attention partials over
     disjoint key sets. o: (..., H, D) f32-able; m/l: (..., H)."""

@@ -990,6 +990,11 @@ def supported(p) -> bool:
     CLAUDE.md round-2 'copy-done' finding). With int8/int4 the stream is
     2-4x smaller and the dispatch savings win instead. The bits=16 kernel
     path stays callable directly (tests, future use)."""
+    if "cross_attention" in p:
+        # the post-attention kernel bakes out_proj->norm2->MLP with no
+        # cross-attention sub-block between the residuals — layers that
+        # ship cross weights must compose (models/backbone._post_ff)
+        return False
     bits = {_qw(p[k])[3] for k in ("in_proj", "out_proj", "linear1",
                                    "linear2")}
     return len(bits) == 1 and bits.issubset({4, 8})
