@@ -280,6 +280,31 @@ def params_from_flat(flat: Dict[str, np.ndarray],
         "decoder": dec,
     }
 
+    # optional SEANet ENCODER (audio -> latent): the reference carries it
+    # as compiled-out code with no shipped weights (seanet.h:61-158,
+    # decode-only build); load it when a checkpoint ships
+    # mimi.encoder.model.N.* — indices mirror the decoder (see
+    # models/seanet.encoder_init_state)
+    if "mimi.encoder.model.0.conv.weight" in flat:
+        n = len(stages)
+        enc = {"model_0": _conv(flat, "mimi.encoder.model.0.conv", dtype)}
+        for gi in range(n):
+            ri, ci = 3 * gi + 1, 3 * gi + 3
+            enc[f"model_{ri}"] = {
+                "block_1": _conv(flat,
+                                 f"mimi.encoder.model.{ri}.block.1.conv",
+                                 dtype),
+                "block_3": _conv(flat,
+                                 f"mimi.encoder.model.{ri}.block.3.conv",
+                                 dtype)}
+            enc[f"model_{ci}"] = _conv(flat,
+                                       f"mimi.encoder.model.{ci}.conv",
+                                       dtype)
+        fi = 3 * n + 2
+        enc[f"model_{fi}"] = _conv(flat, f"mimi.encoder.model.{fi}.conv",
+                                   dtype)
+        p["mimi"]["encoder"] = enc
+
     # derived: constant time conditioning (s=0, t=1 always at inference)
     from ..models.flow_mlp import time_cond
     p["_time_cond"] = time_cond(p["flow_net"])

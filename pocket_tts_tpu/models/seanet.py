@@ -73,6 +73,60 @@ def init_state(cfg: SeanetConfig, t_in: int, dtype=jnp.float32):
     return state
 
 
+def encoder_init_state(cfg: SeanetConfig, dtype=jnp.float32):
+    """Zeroed causal-conv tails for the streaming SEANet ENCODER.
+
+    The encoder is the decoder mirrored — the reference carries it as
+    compiled-out code (moshi_seanet_encoder, seanet.h:61-158: conv, then
+    [resnet, elu, strided conv] per stage, elu, final conv) with no shipped
+    defaults (the pocket-tts build and checkpoint are decode-only), so the
+    module indices generalize the dead code's model_0..model_14 numbering
+    over len(cfg.stages): conv at 0, group i's resnet/conv at 3i+1 / 3i+3,
+    final conv at 3N+2. For the shipped 3-stage decoder config that is
+    model_0, (1,3), (4,6), (7,9), elu, model_11 — the exact transpose of
+    the decoder's indices.
+    """
+    n = len(cfg.stages)
+    state = {"model_0": conv1d_init_state(cfg.out_ch, cfg.first_kernel, 1,
+                                          dtype)}
+    for gi, st in enumerate(reversed(cfg.stages)):
+        state[f"model_{3 * gi + 1}"] = conv1d_init_state(
+            st.out_ch, cfg.resnet_kernel, 1, dtype)
+        state[f"model_{3 * gi + 3}"] = conv1d_init_state(
+            st.out_ch, st.kernel, st.stride, dtype)
+    state[f"model_{3 * n + 2}"] = conv1d_init_state(
+        cfg.stages[0].in_ch, cfg.last_kernel, 1, dtype)
+    return state
+
+
+def encoder_forward(p, cfg: SeanetConfig, state, x):
+    """Streaming encode: pcm (T, out_ch) -> (new_state, latents
+    (T // total_stride, in_ch)). T must be a multiple of
+    cfg.total_stride per call (one decoder frame = 1920 samples -> 16
+    latent steps for the shipped config).
+
+    Channel flow mirrors the decoder exactly: out_ch -> stages[-1].out_ch
+    via the first conv, each reversed stage's strided conv doubles
+    channels (st.out_ch -> st.in_ch, kernel/stride shared with the
+    decoder's convtr), the final conv maps stages[0].in_ch -> in_ch.
+    ref: moshi_seanet_encoder, seanet.h:97-123 (dead code, generalized).
+    """
+    new_state = {}
+    new_state["model_0"], x = streaming_conv1d(
+        p["model_0"], state["model_0"], x, stride=1)
+    n = len(cfg.stages)
+    for gi, st in enumerate(reversed(cfg.stages)):
+        ri, ci = f"model_{3 * gi + 1}", f"model_{3 * gi + 3}"
+        new_state[ri], x = _resnet(p[ri], state[ri], x, cfg.resnet_kernel)
+        x = elu(x)
+        new_state[ci], x = streaming_conv1d(p[ci], state[ci], x,
+                                            stride=st.stride)
+    x = elu(x)
+    fi = f"model_{3 * n + 2}"
+    new_state[fi], x = streaming_conv1d(p[fi], state[fi], x, stride=1)
+    return new_state, x
+
+
 def _resnet(p, prev, x, kernel: int):
     """x + conv1x1(elu(conv_k(elu(x)))). ref: moshi_seanet_resnet_block,
     seanet.h:14-27."""
