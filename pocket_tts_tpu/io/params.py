@@ -53,6 +53,18 @@ def _norm(flat, name, dtype, required=True):
     return out
 
 
+def _norm_or_rms(flat, name, dtype):
+    """LayerNorm params — or {"alpha": ...} when the checkpoint ships the
+    moshi RMSNorm variant (norm1.alpha instead of norm1.weight/bias; the
+    reference loads it into moshi_rms_norm_t,
+    src/pocket_tts/modules/mimi_transformer.h:10-27,1046-1062). Consumers
+    route on the "alpha" key (ops.basic.rms_norm vs layer_norm)."""
+    a = flat.get(name + ".alpha")
+    if a is not None:
+        return {"alpha": jnp.asarray(a, dtype).reshape(-1)}
+    return _norm(flat, name, dtype)
+
+
 def _conv(flat, name, dtype):
     out = {"w": jnp.asarray(flat[name + ".weight"], dtype)}
     b = flat.get(name + ".bias")
@@ -244,20 +256,36 @@ def params_from_flat(flat: Dict[str, np.ndarray],
     mlayers = []
     for i in range(mimi_layers):
         pre = f"mimi.decoder_transformer.transformer.layers.{i}."
-        mlayers.append({
-            "norm1": _norm(flat, pre + "norm1", dtype),
+        mlayer = {
+            # norm1/norm2 may be the moshi RMSNorm variant (norm*.alpha) —
+            # moshi_streaming_transformer_layer routes per layer
+            # (mimi_transformer.h:863,873,924,949); dead in shipped
+            # pocket-tts checkpoints but the reference compiles the path
+            "norm1": _norm_or_rms(flat, pre + "norm1", dtype),
             "in_proj": _rope_permute(
                 _lin(flat, pre + "self_attn.in_proj", dtype),
                 mimi_dim, cfg.mimi.transformer.head_dim),
             "out_proj": _lin(flat, pre + "self_attn.out_proj", dtype),
             "layer_scale_1": {
                 "scale": jnp.asarray(flat[pre + "layer_scale_1.scale"], dtype)},
-            "norm2": _norm(flat, pre + "norm2", dtype),
+            "norm2": _norm_or_rms(flat, pre + "norm2", dtype),
             "linear1": _lin(flat, pre + "linear1", dtype),
             "linear2": _lin(flat, pre + "linear2", dtype),
             "layer_scale_2": {
                 "scale": jnp.asarray(flat[pre + "layer_scale_2.scale"], dtype)},
-        })
+        }
+        # optional cross-attention sub-block in the MIMI stack (the
+        # moshi-heritage path: mimi_transformer.h:343-396,714-762,939-947).
+        # The cross in_proj is NOT rope-permuted (no RoPE on that path).
+        x_in = _lin(flat, pre + "cross_attention.in_proj", dtype,
+                    required=False)
+        if x_in is not None:
+            mlayer["norm_cross"] = _norm(flat, pre + "norm_cross", dtype)
+            mlayer["cross_attention"] = {
+                "in_proj": x_in,
+                "out_proj": _lin(flat, pre + "cross_attention.out_proj",
+                                 dtype)}
+        mlayers.append(mlayer)
 
     dec = {}
     for name in ["model_0", "model_11"]:

@@ -18,8 +18,9 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import MimiTransformerConfig
-from ..ops.attention import cache_insert_ring, ring_cache_bias, sdpa_seg
-from ..ops.basic import gelu, layer_norm, linear
+from ..ops.attention import (cache_insert_ring, cross_attention,
+                             cross_attn_kv, ring_cache_bias, sdpa_seg)
+from ..ops.basic import gelu, layer_norm, linear, rms_norm
 from ..ops.rope import apply_rope_halves as apply_rope, rope_cos_sin
 
 
@@ -41,6 +42,13 @@ class MimiTransformerState:
     # per-row f32 dequant scales, L x (cap,) — int8-KV mode only
     k_scale: tuple = None
     v_scale: tuple = None
+    # cross-attention conditioning KV, L x (S, H, Dh) — only when the
+    # checkpoint ships mimi-stack cross_attention weights AND the caller
+    # provided a conditioning sequence (init_cross). The reference computes
+    # these once per stream at state init (moshi_smha init,
+    # mimi_transformer.h:343-396) — same here: forward() only reads them.
+    xk: tuple = None
+    xv: tuple = None
 
 
 def init_state(cfg: MimiTransformerConfig, dtype=jnp.float32):
@@ -61,8 +69,37 @@ def init_state(cfg: MimiTransformerConfig, dtype=jnp.float32):
     )
 
 
+def init_cross(p, cfg: MimiTransformerConfig, state: MimiTransformerState,
+               cond):
+    """Precompute per-layer cross-attention KV from a conditioning sequence
+    (S, d_model) — the reference's moshi_smha_state init with
+    condition_cross (mimi_transformer.h:343-396). No-op (returns state
+    unchanged) when the checkpoint ships no mimi-stack cross weights."""
+    from ..ops.basic import slice_layer_params
+    xks, xvs = [], []
+    for l in range(cfg.num_layers):
+        layer_p = slice_layer_params(p["layers"], l)
+        if "cross_attention" not in layer_p:
+            return state
+        k, v = cross_attn_kv(layer_p["cross_attention"]["in_proj"], cond,
+                             cfg.num_heads)
+        xks.append(k)
+        xvs.append(v)
+    return state.replace(xk=tuple(xks), xv=tuple(xvs))
+
+
+def _norm_any(p, x, eps: float):
+    """LayerNorm, or the moshi RMSNorm variant when the checkpoint ships
+    norm*.alpha (moshi_streaming_transformer_layer routes per layer —
+    mimi_transformer.h:924,949; RMS eps is moshi's 1e-8 default)."""
+    if "alpha" in p:
+        return rms_norm(p, x)
+    return layer_norm(p, x, eps=eps)
+
+
 def _layer(p, x, k_cache, v_cache, k_scale, v_scale, offset, start, cos,
-           sin, bias, cfg, gelu_approx: bool, pallas_mode: str):
+           sin, bias, cfg, gelu_approx: bool, pallas_mode: str,
+           xk=None, xv=None):
     t, dm = x.shape
     fused = False
     # cfg.mesh None: no GSPMD partitioning for the fused kernels (the XLA
@@ -77,7 +114,7 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, offset, start, cos,
         qkv = fused_layer.pre_attention(
             p, x, eps=cfg.norm_eps, interpret=(pallas_mode == "interpret"))
     else:
-        h = layer_norm(p["norm1"], x, eps=cfg.norm_eps)
+        h = _norm_any(p["norm1"], x, cfg.norm_eps)
         qkv = linear(p["in_proj"], h)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(t, cfg.num_heads, cfg.head_dim)
@@ -134,7 +171,15 @@ def _layer(p, x, k_cache, v_cache, k_scale, v_scale, offset, start, cos,
             k_cache, v_cache, k_scale, v_scale)
     x = x + p["layer_scale_1"]["scale"] * linear(
         p["out_proj"], attn.reshape(t, dm))
-    h = layer_norm(p["norm2"], x, eps=cfg.norm_eps)
+    if "cross_attention" in p and xk is not None:
+        # cross-attention sub-block between the self-attn residual and the
+        # FF block: norm_cross (always a LayerNorm) -> q-only projection
+        # against the precomputed conditioning KV -> residual, NO layer
+        # scale (mimi_transformer.h:939-947)
+        cq = layer_norm(p["norm_cross"], x, eps=cfg.norm_eps)
+        x = x + cross_attention(p["cross_attention"], cq, xk, xv,
+                                cfg.num_heads)
+    h = _norm_any(p["norm2"], x, cfg.norm_eps)
     if "gating" in p:
         # SwiGLU gating replaces the linear1/gelu/linear2 MLP when the
         # checkpoint ships gating weights (dead in the shipped pocket-tts
@@ -184,7 +229,9 @@ def forward(p, cfg: MimiTransformerConfig, state: MimiTransformerState, x,
         x, k_l, v_l, ks_l, vs_l = _layer(
             layer_p, x, state.k[l], state.v[l], ks, vs,
             state.offset, state.start, cos, sin, bias,
-            cfg, gelu_approx, pallas_mode)
+            cfg, gelu_approx, pallas_mode,
+            xk=state.xk[l] if state.xk is not None else None,
+            xv=state.xv[l] if state.xv is not None else None)
         k_new.append(k_l)
         v_new.append(v_l)
         ks_new.append(ks_l)

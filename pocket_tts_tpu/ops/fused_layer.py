@@ -995,6 +995,10 @@ def supported(p) -> bool:
         # cross-attention sub-block between the residuals — layers that
         # ship cross weights must compose (models/backbone._post_ff)
         return False
+    if "alpha" in p.get("norm1", {}) or "alpha" in p.get("norm2", {}):
+        # moshi RMSNorm variant (mimi_transformer.h:10-27): the kernels
+        # bake mean-subtracting LayerNorms — route the XLA composition
+        return False
     bits = {_qw(p[k])[3] for k in ("in_proj", "out_proj", "linear1",
                                    "linear2")}
     return len(bits) == 1 and bits.issubset({4, 8})

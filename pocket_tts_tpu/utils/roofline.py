@@ -45,6 +45,29 @@ def _tree_numel(tree) -> int:
                    if hasattr(l, "shape") and np.ndim(l) >= 2))
 
 
+def decode_frame_costs_split(params, cfg,
+                             kv_slots: int) -> Tuple[float, float, float]:
+    """(weight_bytes, kv_bytes, useful_flops) for ONE frame at batch 1.
+
+    The split lets batched rooflines scale the two streams separately:
+    weights are read ONCE per frame for the whole batch (the quantized
+    custom-vmap kernels collapse streams into rows) while KV reads scale
+    with B — bench.py's hbm_bw_util_batchN uses
+    (weight_bytes + B * kv_bytes).
+    """
+    b, f = decode_frame_costs(params, cfg, kv_slots)
+    kv_item = 1 if cfg.backbone.quantize_kv else (
+        params["bos_emb"].dtype.itemsize)
+    mt = cfg.mimi.transformer
+    mimi_kv_item = 1 if mt.quantize_kv else params["bos_emb"].dtype.itemsize
+    kv = (cfg.backbone.num_layers * 2 * kv_slots
+          * (cfg.backbone.d_model * kv_item
+             + (4 if cfg.backbone.quantize_kv else 0))
+          + mt.num_layers * 2 * mt.capacity
+          * (mt.d_model * mimi_kv_item + (4 if mt.quantize_kv else 0)))
+    return b - kv, float(kv), f
+
+
 def decode_frame_costs(params, cfg, kv_slots: int) -> Tuple[float, float]:
     """(hbm_bytes, useful_flops) for ONE generated frame at batch 1.
 
