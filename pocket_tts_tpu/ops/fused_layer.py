@@ -178,8 +178,11 @@ def _pre_call(x, norm_scale, norm_bias, w, scale, bias, layer, bits,
                          memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec(((1,) if stacked else ()) + (1, nt), wmap,
                          memory_space=pltpu.VMEM)
+    # keep the scale's STORAGE dtype (bf16 for grouped — kernels upcast
+    # small tiles in place; an .astype(f32) here would stream f32 from HBM
+    # every frame, the r4 q4_0 deficit)
     scale2 = (scale.reshape(-1, kg, n) if stacked
-              else scale.reshape(kg, n)).astype(jnp.float32)
+              else scale.reshape(kg, n))
     bias2 = (bias.reshape(-1, 1, n) if stacked
              else bias.reshape(1, n))
     if tiled:
@@ -548,12 +551,14 @@ def _post_call(x, attn, wo, so, bo, ls1, ls2, norm_scale, norm_bias,
         return (a.reshape(-1, kg, n) if stacked else a.reshape(kg, n))
 
     f32 = jnp.float32
-    s2r = r2(s2.astype(f32), dm, s2.shape[-2] if g2 else 1)
-    operands = [x, attn, wo, r2(so.astype(f32), dm, kgo), r2(bo, dm),
+    # scales keep their storage dtype (bf16 grouped / f32 per-channel):
+    # kernels upcast in place; casting here would stream f32 per frame
+    s2r = r2(s2, dm, s2.shape[-2] if g2 else 1)
+    operands = [x, attn, wo, r2(so, dm, kgo), r2(bo, dm),
                 ls1.reshape(1, dm), ls2.reshape(1, dm),
                 norm_scale.reshape(1, dm), norm_bias.reshape(1, dm),
-                w1, r2(s1.astype(f32), hidden, kg1), r2(b1, hidden),
-                w1, r2(s1.astype(f32), hidden, kg1), r2(b1, hidden),
+                w1, r2(s1, hidden, kg1), r2(b1, hidden),
+                w1, r2(s1, hidden, kg1), r2(b1, hidden),
                 w2, s2r, s2r, r2(b2, dm)]
     in_specs = [xspec, xspec, wospec, sospec, dmspec, row, row, row, row,
                 w1spec, s1spec, b1aspec, w1bspec, s1bspec, b1bspec,
@@ -727,15 +732,15 @@ def _bilayer_call(x, attn, wo, so, bo, ls1, ls2, norm_scale, norm_bias,
     def r2(a, n, kg=1):
         return a.reshape(-1, kg, n)
 
-    s2r = r2(s2.astype(f32), dm, s2.shape[-2] if g2 else 1)
-    operands = [x, attn, wo, r2(so.astype(f32), dm, kgo), r2(bo, dm),
+    s2r = r2(s2, dm, s2.shape[-2] if g2 else 1)
+    operands = [x, attn, wo, r2(so, dm, kgo), r2(bo, dm),
                 ls1.reshape(1, dm), ls2.reshape(1, dm),
                 norm_scale.reshape(1, dm), norm_bias.reshape(1, dm),
-                w1, r2(s1.astype(f32), hidden, kg1), r2(b1, hidden),
-                w1, r2(s1.astype(f32), hidden, kg1), r2(b1, hidden),
+                w1, r2(s1, hidden, kg1), r2(b1, hidden),
+                w1, r2(s1, hidden, kg1), r2(b1, hidden),
                 w2, s2r, s2r, r2(b2, dm),
                 nsn.reshape(1, dm), nbn.reshape(1, dm),
-                win, r2(sin.astype(f32), n3, kgn), r2(bin_, n3)]
+                win, r2(sin, n3, kgn), r2(bin_, n3)]
     in_specs = [xspec, xspec, wospec, sospec, dmspec, row, row, row, row,
                 w1spec, s1spec, b1aspec, w1bspec, s1bspec, b1bspec,
                 w2spec, s2aspec, s2bspec, dmspec,

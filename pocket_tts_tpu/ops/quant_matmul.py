@@ -86,13 +86,13 @@ def _w_specs(q, scale, layer, nt):
                              memory_space=pltpu.VMEM)
         sspec = pl.BlockSpec((kg, nt), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM)
-        return wspec, sspec, q, scale.reshape(kg, n).astype(jnp.float32)
+        return wspec, sspec, q, scale.reshape(kg, n)
     _, k, n = q.shape
     wspec = pl.BlockSpec((1, k, nt), lambda i, j, l=layer: (l, 0, j),
                          memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((1, kg, nt), lambda i, j, l=layer: (l, 0, j),
                          memory_space=pltpu.VMEM)
-    return wspec, sspec, q, scale.reshape(-1, kg, n).astype(jnp.float32)
+    return wspec, sspec, q, scale.reshape(-1, kg, n)
 
 
 def _int8_kernel(x_ref, w_ref, s_ref, o_ref):

@@ -22,6 +22,7 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/micro_floor.py [post|
 """
 import functools
 import json
+import os
 import sys
 
 import numpy as np
@@ -32,15 +33,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, "/root/repo")
 from bench import device_ms  # noqa: E402
-from pocket_tts_tpu.ops.quant_matmul import _int4_dots  # noqa: E402
+from pocket_tts_tpu.ops.quant_matmul import (_int4_dots,  # noqa: E402
+                                             grouped_int4_acc)
 from pocket_tts_tpu.ops import fused_layer as fl  # noqa: E402
 from pocket_tts_tpu.utils.roofline import device_peaks  # noqa: E402
 
 L, DM, HID = 6, 1024, 4096
-NT, NSTEPS = 512, 4            # _post_call: span=2048, _POST_NT=512
+# NT env override sweeps the pipelining depth (default = the shipping
+# kernels' _POST_NT=512); NSTEPS tracks it so span 2048 is covered
+NT = int(os.environ.get("FLOOR_NT", "512"))
+NSTEPS = 2048 // NT            # _post_call: span=2048
 KP1 = DM // 2                  # packed W1 rows
 NT_PRE, NSTEPS_PRE = 768, 4    # _pre_call: n=3072, vmem cap -> nt=768
 N3 = 3 * DM
+GROUP = 32                     # q4_0 K-group for the grouped variants
 R = 48                         # reps per timed run
 NCOPY = 4                      # weight copies cycled across reps
 
@@ -94,6 +100,20 @@ def _post_body(x_ref, wo_ref, w1a_ref, w1b_ref, w2_ref, o_ref, acc_s, *,
         acc_s[...] += _int4_dots(x16l, x16h, w2_ref[0])
         acc_s[:, :NT] += _int4_dots(x16l, x16h, w1a_ref[0])
         acc_s[:, NT:2 * NT] += _int4_dots(x16l, x16h, w1b_ref[0])
+    elif variant == "opsg":
+        # the grouped (q4_0) block-diagonal algebra on the same tiles:
+        # group-masked bd activation rows, 2 MXU passes per block, scale
+        # fold on (2ng, nt) partials (quant_matmul._grouped_bd_acc) —
+        # VERDICT r4 #6's "the rest is inherent per-group VPU work" bound
+        x16l, x16h = x_ref[:, :KP1], x_ref[:, KP1:]
+        ng = KP1 // GROUP
+        sg_dm = jnp.full((2 * ng, DM), 1e-2, f32)
+        sg_nt = jnp.full((2 * ng, NT), 1e-2, f32)
+        acc_s[...] += grouped_int4_acc(x16l, x16h, wo_ref[0], sg_dm)
+        acc_s[...] += grouped_int4_acc(x16l, x16h, w2_ref[0], sg_dm)
+        acc_s[:, :NT] += grouped_int4_acc(x16l, x16h, w1a_ref[0], sg_nt)
+        acc_s[:, NT:2 * NT] += grouped_int4_acc(x16l, x16h, w1b_ref[0],
+                                                sg_nt)
     else:
         raise ValueError(variant)
 
@@ -191,8 +211,14 @@ def run_variant(kind, variant):
     if kind == "post":
         packs = [(q4((L, KP1, DM)), q4((L, KP1, HID)), q4((L, HID // 2, DM)))
                  for _ in range(NCOPY)]
-        so = jnp.full((L, 1, DM), 1e-2, f32)
-        s1 = jnp.full((L, 1, HID), 1e-2, f32)
+        if variant == "realg":     # q4_0 K-grouped scale layouts
+            so = jnp.full((L, 2 * (KP1 // GROUP), DM), 1e-2, f32)
+            s1 = jnp.full((L, 2 * (KP1 // GROUP), HID), 1e-2, f32)
+            s2 = jnp.full((L, 2 * (HID // 2 // GROUP), DM), 1e-2, f32)
+        else:
+            so = jnp.full((L, 1, DM), 1e-2, f32)
+            s1 = jnp.full((L, 1, HID), 1e-2, f32)
+            s2 = so
         bias_dm = jnp.zeros((L, 1, DM), dt)
         bias_h = jnp.zeros((L, 1, HID), dt)
         ones = jnp.ones((DM,), dt)
@@ -203,8 +229,8 @@ def run_variant(kind, variant):
             for rep in range(R):
                 wo, w1, w2 = ws[rep % NCOPY]
                 for l in range(L):
-                    if variant == "real":
-                        y = real_post(x, wo, w1, w2, so, s1, so, bias_dm,
+                    if variant in ("real", "realg"):
+                        y = real_post(x, wo, w1, w2, so, s1, s2, bias_dm,
                                       bias_h, ones, zeros, l)
                     else:
                         y = post_call(variant, x, wo, w1, w2, l)
@@ -215,7 +241,10 @@ def run_variant(kind, variant):
         bytes_call = BYTES_POST
     else:
         packs = [q4((L, KP1, N3)) for _ in range(NCOPY)]
-        s_in = jnp.full((L, 1, N3), 1e-2, f32)
+        if variant == "realg":
+            s_in = jnp.full((L, 2 * (KP1 // GROUP), N3), 1e-2, f32)
+        else:
+            s_in = jnp.full((L, 1, N3), 1e-2, f32)
         b_in = jnp.zeros((L, 1, N3), dt)
         ones = jnp.ones((DM,), dt)
         zeros = jnp.zeros((DM,), dt)
@@ -224,7 +253,7 @@ def run_variant(kind, variant):
             for rep in range(R):
                 w = flat[rep % NCOPY]
                 for l in range(L):
-                    if variant == "real":
+                    if variant in ("real", "realg"):
                         y = real_pre(x, w, s_in, b_in, ones, zeros, l)
                     else:
                         y = pre_call(variant, x, w, l)
@@ -233,6 +262,17 @@ def run_variant(kind, variant):
 
         flat = packs
         bytes_call = BYTES_PRE
+
+    if variant == "realg":
+        # the grouped scale blocks are real streamed operands (f32): count
+        # them so realg's gb_s reflects its actual byte stream (opsg bakes
+        # constant scales — compare opsg vs dma by us, realg by gb_s)
+        if kind == "post":
+            ng2 = 2 * (KP1 // GROUP)
+            bytes_call += 4 * (ng2 * DM + ng2 * HID
+                               + 2 * (HID // 2 // GROUP) * DM)
+        else:
+            bytes_call += 4 * 2 * (KP1 // GROUP) * N3
 
     jfn = jax.jit(fn)
     out = jfn(x0, *flat)
@@ -256,7 +296,8 @@ if __name__ == "__main__":
     kinds = ["post", "pre"]
     if len(sys.argv) > 1 and sys.argv[1] in ("post", "pre"):
         kinds = [sys.argv[1]]
-    variants = sys.argv[2:] or ["dma", "cast1", "dot1", "ops3", "real"]
+    variants = sys.argv[2:] or ["dma", "cast1", "dot1", "ops3", "real",
+                                "opsg", "realg"]
     results = {}
     for kind in kinds:
         for v in variants:
