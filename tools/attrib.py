@@ -37,7 +37,7 @@ prompt = jnp.asarray(
     np.pad(random_voice_prompt(cfg, 120), ((0, 8), (0, 0)))).astype(dtype)
 mimi_template = mimi.init_state(cfg.mimi, dtype)
 max_steps = int((count_words(text) + 2.0) * cfg.mimi.frame_rate)
-scan_len = 150
+scan_len = int(sys.argv[2]) if len(sys.argv) > 2 else 150
 rng = jax.random.PRNGKey(0)
 temp = jnp.float32(0.0)
 fae = jnp.int32(3)
