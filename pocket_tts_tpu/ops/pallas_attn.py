@@ -39,6 +39,7 @@ which therefore pins this kernel off.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+
+# Measurement-only ablation of insert-kernel features (tools/micro_insert.py
+# attribution): comma-separated {nowin, nomerge, noscalerows, nocacheout}.
+# NEVER set in production — ablated kernels return wrong caches/outputs.
+_ABLATE = frozenset(
+    x for x in os.environ.get("PTTS_ATTN_ABLATE", "").split(",") if x)
 
 
 def _pick_group(bsz: int, bytes_per_stream: int, itemsize: int):
@@ -74,7 +81,110 @@ def _pick_group(bsz: int, bytes_per_stream: int, itemsize: int):
     return 1, None
 
 
-def _decode_attn_kernel(end_ref, qm_ref, pos_ref, *rest, num_heads,
+def _rep_const(rows, group):
+    """(rows, group) 0/1 f32: rep[r, g] = 1 iff stacked row r belongs to
+    lane-group member g (r // (rows/group) == g). Dotting it against a
+    (group, N) array broadcasts each lane's row to its H stacked rows as
+    ONE MXU pass — exact for 0/1 and integer-valued operands even under
+    the MXU's default-precision bf16 input truncation."""
+    h = rows // group
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, group), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, group), 1)
+    return (r // h == c).astype(jnp.float32)
+
+
+def _sel_const(group, h):
+    """(group, group*h) 0/1 f32 selector: the transpose of _rep_const —
+    collapses per-head stacked rows back to one row per lane."""
+    rows = group * h
+    c = jax.lax.broadcasted_iota(jnp.int32, (group, rows), 1)
+    g = jax.lax.broadcasted_iota(jnp.int32, (group, rows), 0)
+    return (c // h == g).astype(jnp.float32)
+
+
+def _seg_tile(rows, h, d):
+    """(rows, h*d) 0/1 f32: row r keeps only head (r % h)'s lane segment —
+    the per-lane seg mask tiled over the whole stacked scratch."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, h * d), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, h * d), 0)
+    return (lane // d == row % h).astype(jnp.float32)
+
+
+def _flash_main_block(i, qm_ref, pen_ref, ks_ref, vs_ref, k_ref, v_ref,
+                      m_s, l_s, acc_s, logit_s, *, h, d, group, quant):
+    """The shared (stream-group x cache-block) flash step, restructured so
+    ONLY the MXU dots run per-lane: every elementwise phase (penalty,
+    running max, exp, normalizer) runs ONCE on the stacked (G*H, BS)
+    scratch. The r5 floor micro (tools/micro_floor.py) showed per-lane VPU
+    passes do NOT hide behind the cache stream on v5e — they are additive
+    per issue — and the un-batched body ran the insert kernel at 30% of
+    the streaming floor its own dots sustain (tools/micro_attn_var.py:
+    bare math 716 GB/s vs real kernel 250 GB/s)."""
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    for g in range(group):
+        lo, hi = g * h, (g + 1) * h
+        qm = qm_ref[lo:hi]                         # (H, H*D) bf16
+        kb = k_ref[g]                              # (BS, H*D) bf16/int8
+        if quant:
+            # int8 rows with per-row absmax scales: dequantize by folding
+            # the k scales into the logits and the v scales into p — the
+            # MXU passes stay bf16 x bf16
+            kb = kb.astype(qm.dtype)
+        # logits[h, s] = sum_i qm[h, i] * kb[s, i] — bf16 MXU pass
+        lg = jax.lax.dot_general(
+            qm, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if quant:
+            lg = lg * ks_ref[g, pl.ds(i, 1), :]    # (1, BS)
+        logit_s[lo:hi] = lg
+    # ---- batched phase: one pass over the stacked (G*H, BS) scratch ----
+    pen = pen_ref[...]                             # (G, BS) 0/1 f32
+    if group > 1:
+        okf = jax.lax.dot_general(
+            _rep_const(group * h, group), pen, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (G*H, BS), exact 0/1
+    else:
+        okf = pen                                  # (1, BS) broadcasts
+    logits = logit_s[...] + jnp.where(okf >= 0.5, 0.0, NEG_INF)
+    m = m_s[...]                                   # (G*H, 1)
+    m_blk = jnp.max(logits, axis=1, keepdims=True)
+    m_new = jnp.maximum(m, m_blk)
+    corr = jnp.exp(m - m_new)
+    p = jnp.exp(logits - m_new)                    # (G*H, BS)
+    l_s[...] = l_s[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+    m_s[...] = m_new
+    logit_s[...] = p
+    for g in range(group):
+        lo, hi = g * h, (g + 1) * h
+        vb = v_ref[g]
+        pg = logit_s[lo:hi]
+        if quant:
+            pg = pg * vs_ref[g, pl.ds(i, 1), :]    # fold v scales
+            vb = vb.astype(qm_ref.dtype)
+        # pv[h, i] = sum_s p[h, s] * vb[s, i]: second bf16 MXU pass
+        pvh = jax.lax.dot_general(
+            pg.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (H, H*D)
+        acc_s[lo:hi] = acc_s[lo:hi] * corr[lo:hi] + pvh
+
+
+def _collapse_out(out_ref, acc, l, group, h, d):
+    """Normalize the stacked (G*H, H*D) accumulator and collapse each
+    lane's H rows to its (1, H*D) seg-packed output row — one masked MXU
+    pass for the whole group (exact: 0/1 selector x values that round to
+    bf16 once either way, 15 of 16 summands exact zeros)."""
+    norm = acc / jnp.maximum(l, 1e-30)
+    seg = _seg_tile(group * h, h, d)
+    if group > 1:
+        out_ref[...] = jax.lax.dot_general(
+            _sel_const(group, h), norm * seg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    else:
+        out_ref[...] = jnp.sum(norm * seg, axis=0,
+                               keepdims=True).astype(out_ref.dtype)
+
+
+def _decode_attn_kernel(end_ref, qm_ref, pen_ref, *rest, num_heads,
                         head_dim, nb_total, quant, group, stats=False):
     """One (stream-group, cache-block) grid step of batched flash decode.
 
@@ -82,14 +192,15 @@ def _decode_attn_kernel(end_ref, qm_ref, pos_ref, *rest, num_heads,
     cost (~0.3-0.8 us of sequencing) dominated single-stream steps once
     the int8 cache halved the DMA time.
 
-    Block shapes: qm_ref (G, H, H*D) seg-masked queries (built once in
-    XLA — rebuilding them per grid step cost real VPU time); pos_ref
-    (G, NB, BS) (whole stream rows — 1.5 KB each); k_ref/v_ref
-    (G, BS, H*D); out_ref (G, 1, H*D). Scratch (persists across grid
-    steps): m_s/l_s (G*H, 1) f32 running max / normalizer, acc_s
-    (G*H, H*D) f32 unnormalized per-head output.
+    Block shapes: qm_ref (G*H, H*D) stacked seg-masked queries (built once
+    in XLA — rebuilding them per grid step cost real VPU time); pen_ref
+    (G, BS) 0/1 validity (precomputed in XLA from pos >= 0 — squeezed
+    per-block slice); k_ref/v_ref (G, BS, H*D); out_ref (G, H*D). Scratch
+    (persists across grid steps): m_s/l_s (G*H, 1) f32 running max /
+    normalizer, acc_s (G*H, H*D) f32 unnormalized per-head output,
+    logit_s (G*H, BS) f32 stacked logits/p staging.
 
-    Everything is oriented so the per-slot mask adds LANE-wise ((H, BS)
+    Everything is oriented so the per-slot mask adds LANE-wise ((., BS)
     logits): the transposed formulation needed a (1, BS) -> (BS, 1)
     sublane relayout every step, a measurable per-step cost.
     """
@@ -97,11 +208,12 @@ def _decode_attn_kernel(end_ref, qm_ref, pos_ref, *rest, num_heads,
     if quant:
         ks_ref, vs_ref, k_ref, v_ref, out_ref, *tail = rest
     else:
+        ks_ref = vs_ref = None
         k_ref, v_ref, out_ref, *tail = rest
     if stats:
-        st_ref, m_s, l_s, acc_s = tail
+        st_ref, m_s, l_s, acc_s, logit_s = tail
     else:
-        m_s, l_s, acc_s = tail
+        m_s, l_s, acc_s, logit_s = tail
     i = pl.program_id(1)
     bs = k_ref.shape[1]
     h, d = num_heads, head_dim
@@ -116,65 +228,17 @@ def _decode_attn_kernel(end_ref, qm_ref, pos_ref, *rest, num_heads,
 
     @pl.when(i < nb)
     def _():
-        scale = 1.0 / jnp.sqrt(jnp.float32(d))
-        for g in range(group):
-            lo, hi = g * h, (g + 1) * h
-            qm = qm_ref[g]                             # (H, H*D) bf16
-            kb = k_ref[g]                              # (BS, H*D) bf16/int8
-            vb = v_ref[g]
-            posb = pos_ref[g, pl.ds(i, 1), :]          # (1, BS)
-            penalty = jnp.where(posb >= 0, 0.0, NEG_INF).astype(jnp.float32)
-
-            if quant:
-                # int8 rows with per-row absmax scales: dequantize by
-                # folding the k scales into the logits and the v scales
-                # into p — the MXU passes stay bf16 x bf16
-                kb = kb.astype(qm.dtype)
-                vb = vb.astype(qm.dtype)
-
-            # logits[h, s] = sum_i qm[h, i] * kb[s, i] — bf16 MXU pass
-            logits = jax.lax.dot_general(
-                qm, kb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            if quant:
-                logits = logits * ks_ref[g, pl.ds(i, 1), :]    # (1, BS)
-            logits = logits + penalty                          # (H, BS)
-
-            m = m_s[lo:hi]                                   # (H, 1)
-            m_blk = jnp.max(logits, axis=1, keepdims=True)   # (H, 1)
-            m_new = jnp.maximum(m, m_blk)
-            corr = jnp.exp(m - m_new)                        # (H, 1)
-            p = jnp.exp(logits - m_new)                      # (H, BS)
-            l_new = l_s[lo:hi] * corr + jnp.sum(p, axis=1, keepdims=True)
-
-            if quant:
-                p = p * vs_ref[g, pl.ds(i, 1), :]            # fold v scales
-            # pv[h, i] = sum_s p[h, s] * vb[s, i]: second bf16 MXU pass
-            pvh = jax.lax.dot_general(
-                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (H, H*D)
-            m_s[lo:hi] = m_new
-            l_s[lo:hi] = l_new
-            acc_s[lo:hi] = acc_s[lo:hi] * corr + pvh
+        _flash_main_block(i, qm_ref, pen_ref, ks_ref, vs_ref, k_ref, v_ref,
+                          m_s, l_s, acc_s, logit_s, h=h, d=d, group=group,
+                          quant=quant)
 
     @pl.when(i == nb_total - 1)
     def _():
-        # normalize per head, then collapse (H, H*D) to the (1, H*D) row:
-        # row h only holds meaningful lanes in segment h; the seg mask
-        # zeroes the rest before the sublane reduction.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (h, h * d), 1)
-        head = jax.lax.broadcasted_iota(jnp.int32, (h, h * d), 0)
-        seg = (lane // d == head).astype(jnp.float32)        # (H, H*D)
-        for g in range(group):
-            lo, hi = g * h, (g + 1) * h
-            norm = acc_s[lo:hi] / jnp.maximum(l_s[lo:hi], 1e-30)
-            out_ref[g] = jnp.sum(norm * seg, axis=0,
-                                 keepdims=True).astype(out_ref.dtype)
-            if stats:
-                # flash partial stats for external merges (shared-prefix
-                # attention): running max + normalizer per head
-                st_ref[g] = jnp.concatenate([m_s[lo:hi], l_s[lo:hi]],
-                                            axis=1)
+        _collapse_out(out_ref, acc_s[...], l_s[...], group, h, d)
+        if stats:
+            # flash partial stats for external merges (shared-prefix
+            # attention): running max + normalizer per head
+            st_ref[...] = jnp.concatenate([m_s[...], l_s[...]], axis=1)
 
 
 @functools.partial(jax.jit,
@@ -203,10 +267,13 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
         _decode_attn_kernel, num_heads=h, head_dim=d, nb_total=nb,
         quant=quant, group=group, stats=stats)
 
-    # seg-masked query built once here: qm[b, h, i] = q[b, h, i - h*d] for
-    # lanes i in head h's segment, 0 elsewhere — (B, H, H*D) bf16
+    # seg-masked query built once here: qm[b*h + j, i] = q[b, j, i - j*d]
+    # for lanes i in head j's segment, 0 elsewhere — stacked (B*H, H*D)
     eye = jnp.eye(h, dtype=q.dtype)
-    qm = (eye[:, :, None] * q[:, None]).reshape(bsz, h, h * d)
+    qm = (eye[:, :, None] * q[:, None]).reshape(bsz * h, h * d)
+    # slot validity precomputed in XLA (one fused op per call): the kernel
+    # expands it to the stacked rows with an exact 0/1 MXU pass
+    pen01 = (pos >= 0).astype(jnp.float32).reshape(bsz, nb, block_size)
 
     def live(i, end_v):
         # clamp dead blocks onto the last live one: a revisited block
@@ -218,11 +285,12 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
                             lambda b, i, e: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((group, h, h * d), lambda b, i, e: (b, 0, 0),
-                     memory_space=pltpu.VMEM),      # qm
-        row_spec,                                   # pos (whole rows)
+        pl.BlockSpec((group * h, h * d), lambda b, i, e: (b, 0),
+                     memory_space=pltpu.VMEM),      # qm (stacked)
+        pl.BlockSpec((group, None, block_size), lambda b, i, e: (b, i, 0),
+                     memory_space=pltpu.VMEM),      # pen01 (block slice)
     ]
-    operands = [qm, pos.reshape(bsz, nb, block_size)]
+    operands = [qm, pen01]
     if quant:
         in_specs += [row_spec, row_spec]            # k/v dequant scales
         operands += [k_scale.reshape(bsz, nb, block_size),
@@ -237,15 +305,15 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
     ]
     operands += [k_cache, v_cache]
 
-    out_specs = pl.BlockSpec((group, 1, h * d), lambda b, i, e: (b, 0, 0),
+    out_specs = pl.BlockSpec((group, h * d), lambda b, i, e: (b, 0),
                              memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((bsz, 1, h * d), q.dtype)
+    out_shape = jax.ShapeDtypeStruct((bsz, h * d), q.dtype)
     if stats:
         out_specs = [out_specs,
-                     pl.BlockSpec((group, h, 2), lambda b, i, e: (b, 0, 0),
+                     pl.BlockSpec((group * h, 2), lambda b, i, e: (b, 0),
                                   memory_space=pltpu.VMEM)]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((bsz, h, 2), jnp.float32)]
+                     jax.ShapeDtypeStruct((bsz * h, 2), jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -257,6 +325,7 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
                 pltpu.VMEM((group * h, 1), jnp.float32),
                 pltpu.VMEM((group * h, 1), jnp.float32),
                 pltpu.VMEM((group * h, h * d), jnp.float32),
+                pltpu.VMEM((group * h, block_size), jnp.float32),
             ],
         ),
         out_shape=out_shape,
@@ -267,6 +336,7 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
     )(jnp.asarray(end, jnp.int32).reshape(1), *operands)
     if stats:
         out, st = out
+        st = st.reshape(bsz, h, 2)
         return out.reshape(bsz, h, d), st[..., 0], st[..., 1]
     return out.reshape(bsz, h, d)
 
@@ -460,23 +530,35 @@ def _insert_attn_kernel(ends_ref, cpos_ref, *rest, num_heads, head_dim,
     (both batch-uniform); cpos_ref (B,) SMEM: the new row's position per
     stream (-1 = invalid row). quant adds ksn/vsn (B,) f32 SMEM new-row
     scales, (G, NB, BS) scale-row blocks, and whole-row scale outputs.
+
+    Like _decode_attn_kernel, only the MXU dots run per-lane; the flash
+    phases, the analytic new-row merge, and the output collapse all run
+    batched on stacked (G*H, .) arrays, and the window write-back is ONE
+    3-D DMA per cache (the write slot is batch-uniform, so every lane's
+    aligned window starts at the same row) instead of 2*G single-lane
+    copies per grid step.
     """
-    st_ref = None
+    st_ref = kc_out = vc_out = kso_ref = vso_ref = None
     if quant:
-        (ksn_ref, vsn_ref, qm_ref, pos_ref, ks_ref, vs_ref, kn_ref, vn_ref,
-         k_ref, v_ref, out_ref, kc_out, vc_out, kso_ref, vso_ref,
-         *tail) = rest
+        (ksn_ref, vsn_ref, qm_ref, pen_ref, ks_ref, vs_ref, kn_ref, vn_ref,
+         k_ref, v_ref, out_ref, *tail) = rest
     else:
-        (qm_ref, pos_ref, kn_ref, vn_ref, k_ref, v_ref,
-         out_ref, kc_out, vc_out, *tail) = rest
+        ksn_ref = vsn_ref = ks_ref = vs_ref = None
+        (qm_ref, pen_ref, kn_ref, vn_ref, k_ref, v_ref,
+         out_ref, *tail) = rest
+    if "nocacheout" not in _ABLATE:
+        kc_out, vc_out, *tail = tail
+    if quant and "noscalerows" not in _ABLATE:
+        kso_ref, vso_ref, *tail = tail
     if stats:
-        st_ref, m_s, l_s, acc_s, kwin, vwin, sems = tail
+        st_ref, m_s, l_s, acc_s, logit_s, col_s, kwin, vwin, sems = tail
     else:
-        m_s, l_s, acc_s, kwin, vwin, sems = tail
+        m_s, l_s, acc_s, logit_s, col_s, kwin, vwin, sems = tail
     b = pl.program_id(0)
     i = pl.program_id(1)
     bs = k_ref.shape[1]
     h, d = num_heads, head_dim
+    g_h = group * h
     end = ends_ref[0]
     ws = ends_ref[1]
     nb = jnp.minimum((end + bs) // bs, nb_total)
@@ -484,12 +566,12 @@ def _insert_attn_kernel(ends_ref, cpos_ref, *rest, num_heads, head_dim,
     a0 = (ws // win) * win              # aligned window start (global)
     r = ws - a0                         # row within the window
 
-    def win_copy(g):
+    def win_copies():
         return pltpu.make_async_copy(
-            kwin.at[g], kc_out.at[b * group + g, pl.ds(a0, win)],
-            sems.at[g, 0]), pltpu.make_async_copy(
-            vwin.at[g], vc_out.at[b * group + g, pl.ds(a0, win)],
-            sems.at[g, 1])
+            kwin, kc_out.at[pl.ds(b * group, group), pl.ds(a0, win)],
+            sems.at[0]), pltpu.make_async_copy(
+            vwin, vc_out.at[pl.ds(b * group, group), pl.ds(a0, win)],
+            sems.at[1])
 
     @pl.when(i == 0)
     def _():
@@ -499,105 +581,106 @@ def _insert_attn_kernel(ends_ref, cpos_ref, *rest, num_heads, head_dim,
 
     @pl.when(i < nb)
     def _():
-        scale = 1.0 / jnp.sqrt(jnp.float32(d))
-        sidx = i * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-        for g in range(group):
-            lo, hi = g * h, (g + 1) * h
-            qm = qm_ref[g]                             # (H, H*D) bf16
-            kb = k_ref[g]                              # (BS, H*D)
-            vb = v_ref[g]
-            posb = pos_ref[g, pl.ds(i, 1), :]          # (1, BS)
-            # exclude the write slot: its bytes are pre-insert (stale in
-            # ring mode); the new row is merged analytically at the end
-            ok = (posb >= 0) & (sidx != ws)
-            penalty = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+        # pen01 already excludes the write slot (its bytes are pre-insert,
+        # stale in ring mode); the new row is merged analytically below
+        _flash_main_block(i, qm_ref, pen_ref, ks_ref, vs_ref, k_ref, v_ref,
+                          m_s, l_s, acc_s, logit_s, h=h, d=d, group=group,
+                          quant=quant)
 
-            if quant:
-                kb = kb.astype(qm.dtype)
-                vb = vb.astype(qm.dtype)
-
-            logits = jax.lax.dot_general(
-                qm, kb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            if quant:
-                logits = logits * ks_ref[g, pl.ds(i, 1), :]
-            logits = logits + penalty                          # (H, BS)
-
-            m = m_s[lo:hi]
-            m_blk = jnp.max(logits, axis=1, keepdims=True)
-            m_new = jnp.maximum(m, m_blk)
-            corr = jnp.exp(m - m_new)
-            p = jnp.exp(logits - m_new)
-            l_new = l_s[lo:hi] * corr + jnp.sum(p, axis=1, keepdims=True)
-
-            if quant:
-                p = p * vs_ref[g, pl.ds(i, 1), :]
-            pvh = jax.lax.dot_general(
-                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            m_s[lo:hi] = m_new
-            l_s[lo:hi] = l_new
-            acc_s[lo:hi] = acc_s[lo:hi] * corr + pvh
+    do_win = not ({"nowin", "nocacheout"} & _ABLATE)
 
     @pl.when(i == iw)
     def _():
+        if not do_win:
+            return
         # snapshot the window's OLD rows from the block already in VMEM,
         # select the new row in, and start the write-back DMA — it
         # overlaps the remaining block steps
         a_loc = (ws % bs) // win * win
         rowsel = (jax.lax.broadcasted_iota(jnp.int32, (win, h * d), 0) == r)
         for g in range(group):
-            kwin[g] = _win_select(rowsel, kn_ref[g],
+            kwin[g] = _win_select(rowsel, kn_ref[g:g + 1, :],
                                   k_ref[g, pl.ds(a_loc, win), :])
-            vwin[g] = _win_select(rowsel, vn_ref[g],
+            vwin[g] = _win_select(rowsel, vn_ref[g:g + 1, :],
                                   v_ref[g, pl.ds(a_loc, win), :])
-        for g in range(group):
-            ck, cv = win_copy(g)
-            ck.start()
-            cv.start()
+        ck, cv = win_copies()
+        ck.start()
+        cv.start()
+
+    if "nomerge" in _ABLATE:
+        @pl.when(i == nb_total - 1)
+        def _():
+            _collapse_out(out_ref, acc_s[...], l_s[...], group, h, d)
+            if stats:
+                st_ref[...] = jnp.concatenate([m_s[...], l_s[...]], axis=1)
+            if quant and "noscalerows" not in _ABLATE:
+                for g in range(group):
+                    kso_ref[g] = ks_ref[g]
+                    vso_ref[g] = vs_ref[g]
+            if do_win:
+                ck, cv = win_copies()
+                ck.wait()
+                cv.wait()
+        return
 
     @pl.when(i == nb_total - 1)
     def _():
         scale = 1.0 / jnp.sqrt(jnp.float32(d))
-        lane = jax.lax.broadcasted_iota(jnp.int32, (h, h * d), 1)
-        head = jax.lax.broadcasted_iota(jnp.int32, (h, h * d), 0)
-        seg = (lane // d == head).astype(jnp.float32)        # (H, H*D)
+        # ---- analytic merge of the new row, batched over the group -----
+        kn2 = kn_ref[...].astype(jnp.float32)                # (G, H*D)
+        vn2 = vn_ref[...].astype(jnp.float32)
+        if group > 1:
+            rep = _rep_const(g_h, group)
+            knf = jax.lax.dot_general(                       # (G*H, H*D)
+                rep, kn2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            vnf = jax.lax.dot_general(
+                rep, vn2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            knf, vnf = kn2, vn2                              # (1, H*D)
         if quant:
+            # new-row scales stay exact f32: written per lane from SMEM
+            # (an MXU expansion would truncate them to bf16)
+            for g in range(group):
+                col_s[g * h:(g + 1) * h] = jnp.full(
+                    (h, 1), ksn_ref[b * group + g], jnp.float32)
+            knf = knf * col_s[...]
+            for g in range(group):
+                col_s[g * h:(g + 1) * h] = jnp.full(
+                    (h, 1), vsn_ref[b * group + g], jnp.float32)
+            vnf = vnf * col_s[...]
+        qmf = qm_ref[...].astype(jnp.float32)                # (G*H, H*D)
+        logit_n = (jnp.sum(qmf * knf, axis=1, keepdims=True)
+                   * scale)                                  # (G*H, 1)
+        for g in range(group):
+            col_s[g * h:(g + 1) * h] = jnp.full(
+                (h, 1),
+                jnp.where(cpos_ref[b * group + g] >= 0, 0.0, NEG_INF),
+                jnp.float32)
+        logit_n = logit_n + col_s[...]
+        m_old = m_s[...]
+        m_fin = jnp.maximum(m_old, logit_n)
+        corr = jnp.exp(m_old - m_fin)
+        p_n = jnp.exp(logit_n - m_fin)                       # (G*H, 1)
+        l_fin = l_s[...] * corr + p_n
+        acc_fin = acc_s[...] * corr + p_n * vnf              # (G*H, H*D)
+        _collapse_out(out_ref, acc_fin, l_fin, group, h, d)
+        if stats:
+            # post-merge flash stats (shared-prefix external merge)
+            st_ref[...] = jnp.concatenate([m_fin, l_fin], axis=1)
+        # ---- scale rows (whole-row VMEM blocks, lane select) -----------
+        if quant and "noscalerows" not in _ABLATE:
             flat = (jax.lax.broadcasted_iota(
                         jnp.int32, (nb_total, bs), 0) * bs
                     + jax.lax.broadcasted_iota(
                         jnp.int32, (nb_total, bs), 1))
-        for g in range(group):
-            lo, hi = g * h, (g + 1) * h
-            babs = b * group + g
-            # ---- analytic merge of the new row -------------------------
-            knf = kn_ref[g].astype(jnp.float32)              # (1, H*D)
-            vnf = vn_ref[g].astype(jnp.float32)
-            if quant:
-                knf = knf * ksn_ref[babs]
-                vnf = vnf * vsn_ref[babs]
-            qmf = qm_ref[g].astype(jnp.float32)              # (H, H*D)
-            logit_n = (jnp.sum(qmf * knf, axis=1, keepdims=True)
-                       * scale)                              # (H, 1)
-            logit_n = logit_n + jnp.where(cpos_ref[babs] >= 0, 0.0, NEG_INF)
-            m_old = m_s[lo:hi]
-            m_fin = jnp.maximum(m_old, logit_n)
-            corr = jnp.exp(m_old - m_fin)
-            p_n = jnp.exp(logit_n - m_fin)                   # (H, 1)
-            l_fin = l_s[lo:hi] * corr + p_n
-            acc_fin = acc_s[lo:hi] * corr + p_n * vnf        # (H, H*D)
-            norm = acc_fin / jnp.maximum(l_fin, 1e-30)
-            out_ref[g] = jnp.sum(norm * seg, axis=0,
-                                 keepdims=True).astype(out_ref.dtype)
-            if stats:
-                # post-merge flash stats (shared-prefix external merge)
-                st_ref[g] = jnp.concatenate([m_fin, l_fin], axis=1)
-            # ---- scale rows (whole-row VMEM blocks, lane select) -------
-            if quant:
+            for g in range(group):
+                babs = b * group + g
                 kso_ref[g] = jnp.where(flat == ws, ksn_ref[babs], ks_ref[g])
                 vso_ref[g] = jnp.where(flat == ws, vsn_ref[babs], vs_ref[g])
-        for g in range(group):
-            ck, cv = win_copy(g)
+        if do_win:
+            ck, cv = win_copies()
             ck.wait()
             cv.wait()
 
@@ -634,9 +717,14 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
         quant=quant, group=group, win=win, stats=stats)
 
     eye = jnp.eye(h, dtype=q.dtype)
-    qm = (eye[:, :, None] * q[:, None]).reshape(bsz, h, h * d)
+    qm = (eye[:, :, None] * q[:, None]).reshape(bsz * h, h * d)
     ends = jnp.stack([jnp.asarray(read_end, jnp.int32),
                       jnp.asarray(write_slot, jnp.int32)])
+    # slot validity precomputed in XLA: valid AND not the write slot (its
+    # bytes are pre-insert; the new row is merged analytically in-kernel)
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    pen01 = ((pos >= 0) & (sidx != jnp.asarray(write_slot, jnp.int32))
+             ).astype(jnp.float32).reshape(bsz, nb, block_size)
 
     def live(i, ends_v):
         last = jnp.maximum((ends_v[0] + block_size) // block_size - 1, 0)
@@ -645,17 +733,18 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
     row_spec = pl.BlockSpec((group, nb, block_size),
                             lambda b, i, *s: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    new_spec = pl.BlockSpec((group, 1, h * d), lambda b, i, *s: (b, 0, 0),
+    new_spec = pl.BlockSpec((group, None, h * d), lambda b, i, *s: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((group, block_size, h * d),
                            lambda b, i, *s: (b, live(i, s[0]), 0),
                            memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((group, h, h * d), lambda b, i, *s: (b, 0, 0),
-                     memory_space=pltpu.VMEM),      # qm
-        row_spec,                                   # pos
+        pl.BlockSpec((group * h, h * d), lambda b, i, *s: (b, 0),
+                     memory_space=pltpu.VMEM),      # qm (stacked)
+        pl.BlockSpec((group, None, block_size), lambda b, i, *s: (b, i, 0),
+                     memory_space=pltpu.VMEM),      # pen01 (block slice)
     ]
-    operands = [qm, pos.reshape(bsz, nb, block_size)]
+    operands = [qm, pen01]
     scalars = [ends, jnp.asarray(cur_pos, jnp.int32)]
     if quant:
         scalars += [ks_new.astype(jnp.float32), vs_new.astype(jnp.float32)]
@@ -667,33 +756,40 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
                  k_cache, v_cache]
 
     out_specs = [
-        pl.BlockSpec((group, 1, h * d), lambda b, i, *s: (b, 0, 0),
+        pl.BlockSpec((group, h * d), lambda b, i, *s: (b, 0),
                      memory_space=pltpu.VMEM),      # attn out
-        pl.BlockSpec(memory_space=pl.ANY),          # k_cache (aliased)
-        pl.BlockSpec(memory_space=pl.ANY),          # v_cache (aliased)
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((bsz, 1, h * d), q.dtype),
-        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        jax.ShapeDtypeStruct((bsz, h * d), q.dtype),
     ]
     # operand numbering INCLUDES the scalar-prefetch args
     nsc = len(scalars)
-    base = nsc + 2 + (2 if quant else 0)            # qm, pos[, ks, vs]
-    aliases = {base + 2: 1, base + 3: 2}            # k_cache, v_cache
-    if quant:
+    base = nsc + 2 + (2 if quant else 0)            # qm, pen01[, ks, vs]
+    aliases = {}
+    if "nocacheout" not in _ABLATE:
+        out_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),      # k_cache (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),      # v_cache (aliased)
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ]
+        aliases = {base + 2: 1, base + 3: 2}        # k_cache, v_cache
+    if quant and "noscalerows" not in _ABLATE:
+        n_out = len(out_shape)
         out_specs += [row_spec, row_spec]           # k/v scale rows
         out_shape += [
             jax.ShapeDtypeStruct((bsz, nb, block_size), jnp.float32),
             jax.ShapeDtypeStruct((bsz, nb, block_size), jnp.float32),
         ]
-        aliases[nsc + 2] = 3                        # k_scale rows
-        aliases[nsc + 3] = 4                        # v_scale rows
+        aliases[nsc + 2] = n_out                    # k_scale rows
+        aliases[nsc + 3] = n_out + 1                # v_scale rows
     if stats:
-        out_specs += [pl.BlockSpec((group, h, 2),
-                                   lambda b, i, *s: (b, 0, 0),
+        out_specs += [pl.BlockSpec((group * h, 2),
+                                   lambda b, i, *s: (b, 0),
                                    memory_space=pltpu.VMEM)]
-        out_shape += [jax.ShapeDtypeStruct((bsz, h, 2), jnp.float32)]
+        out_shape += [jax.ShapeDtypeStruct((bsz * h, 2), jnp.float32)]
 
     outs = pl.pallas_call(
         kernel,
@@ -706,9 +802,11 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
                 pltpu.VMEM((group * h, 1), jnp.float32),
                 pltpu.VMEM((group * h, 1), jnp.float32),
                 pltpu.VMEM((group * h, h * d), jnp.float32),
+                pltpu.VMEM((group * h, block_size), jnp.float32),
+                pltpu.VMEM((group * h, 1), jnp.float32),
                 pltpu.VMEM((group, win, h * d), k_cache.dtype),
                 pltpu.VMEM((group, win, h * d), v_cache.dtype),
-                pltpu.SemaphoreType.DMA((group, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=out_shape,
@@ -718,13 +816,23 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
                          if vmem_lim else None),
         name="flash_decode_insert",
     )(*scalars, *operands)
+    if _ABLATE:
+        # measurement-only: pad ablated outputs with the (stale) operands
+        out = outs[0].reshape(bsz, h, d)
+        res = (out, k_cache, v_cache)
+        if quant:
+            res += (k_scale, v_scale)
+        if stats:
+            st = outs[-1].reshape(bsz, h, 2)
+            res += (st[..., 0], st[..., 1])
+        return res
     out, kc, vc = outs[0], outs[1], outs[2]
     out = out.reshape(bsz, h, d)
     res = (out, kc, vc)
     if quant:
         res += (outs[3].reshape(bsz, s), outs[4].reshape(bsz, s))
     if stats:
-        st = outs[-1]
+        st = outs[-1].reshape(bsz, h, 2)
         res += (st[..., 0], st[..., 1])
     return res
 

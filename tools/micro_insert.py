@@ -22,6 +22,7 @@ from pocket_tts_tpu.ops import pallas_attn as pa  # noqa: E402
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 384
 DT = sys.argv[3] if len(sys.argv) > 3 else "int8"
+MODE = sys.argv[4] if len(sys.argv) > 4 else "insert"
 H, D = 16, 64
 HD = H * D
 L = 6          # independent cache sets cycled across calls
@@ -71,7 +72,16 @@ def run(q, *flat):
             ks = vs = None
         else:
             k, v, ks, vs = ss[rep % L]
-        if DT == "bf16":
+        if MODE == "decode":
+            if DT == "bf16":
+                out = (pa._decode_attention_batched(
+                    q, k, v, pos, read_end, block_size=S,
+                    interpret=False),)
+            else:
+                out = (pa._decode_attention_batched(
+                    q, k, v, pos, read_end, ks, vs, block_size=S,
+                    interpret=False),)
+        elif DT == "bf16":
             out = pa._decode_insert_attention_batched(
                 q, k_new, v_new, cur_pos, k, v, pos, read_end,
                 write_slot, block_size=S, interpret=False)
