@@ -110,17 +110,26 @@ def _seg_tile(rows, h, d):
     return (lane // d == row % h).astype(jnp.float32)
 
 
-def _flash_main_block(i, qm_ref, pen_ref, ks_ref, vs_ref, k_ref, v_ref,
-                      m_s, l_s, acc_s, logit_s, *, h, d, group, quant):
+def _flash_main_block(i, qm_ref, pos_ref, ks_ref, vs_ref, k_ref, v_ref,
+                      m_s, l_s, acc_s, logit_s, pen_s, *, h, d, group,
+                      quant, ws=None):
     """The shared (stream-group x cache-block) flash step, restructured so
-    ONLY the MXU dots run per-lane: every elementwise phase (penalty,
-    running max, exp, normalizer) runs ONCE on the stacked (G*H, BS)
-    scratch. The r5 floor micro (tools/micro_floor.py) showed per-lane VPU
-    passes do NOT hide behind the cache stream on v5e — they are additive
-    per issue — and the un-batched body ran the insert kernel at 30% of
-    the streaming floor its own dots sustain (tools/micro_attn_var.py:
-    bare math 716 GB/s vs real kernel 250 GB/s)."""
+    ONLY the MXU dots (and tiny (1, BS) row staging) run per-lane: every
+    elementwise phase (penalty, running max, exp, normalizer) runs ONCE on
+    the stacked (G*H, BS) scratch. The r5 floor micro (tools/micro_floor.py)
+    showed per-lane VPU passes do NOT hide behind the cache stream on v5e —
+    they are additive per issue.
+
+    ws: the write slot to exclude (insert kernel) or None (plain decode).
+    Block shapes must keep their trailing two dims tile-legal for EVERY
+    group (bf16 runs group 4/2), so pos stays whole-row (G, NB, BS) and
+    per-block validity is staged per-lane into the (G, BS) pen_s scratch.
+    """
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    if ws is not None:
+        sidx = (i * k_ref.shape[1]
+                + jax.lax.broadcasted_iota(jnp.int32, (1, k_ref.shape[1]),
+                                           1))
     for g in range(group):
         lo, hi = g * h, (g + 1) * h
         qm = qm_ref[lo:hi]                         # (H, H*D) bf16
@@ -137,8 +146,14 @@ def _flash_main_block(i, qm_ref, pen_ref, ks_ref, vs_ref, k_ref, v_ref,
         if quant:
             lg = lg * ks_ref[g, pl.ds(i, 1), :]    # (1, BS)
         logit_s[lo:hi] = lg
+        ok = pos_ref[g, pl.ds(i, 1), :] >= 0       # (1, BS)
+        if ws is not None:
+            # exclude the write slot: its bytes are pre-insert (stale in
+            # ring mode); the new row is merged analytically at the end
+            ok = ok & (sidx != ws)
+        pen_s[g:g + 1] = ok.astype(jnp.float32)
     # ---- batched phase: one pass over the stacked (G*H, BS) scratch ----
-    pen = pen_ref[...]                             # (G, BS) 0/1 f32
+    pen = pen_s[...]                               # (G, BS) 0/1 f32
     if group > 1:
         okf = jax.lax.dot_general(
             _rep_const(group * h, group), pen, (((1,), (0,)), ((), ())),
@@ -172,19 +187,23 @@ def _collapse_out(out_ref, acc, l, group, h, d):
     """Normalize the stacked (G*H, H*D) accumulator and collapse each
     lane's H rows to its (1, H*D) seg-packed output row — one masked MXU
     pass for the whole group (exact: 0/1 selector x values that round to
-    bf16 once either way, 15 of 16 summands exact zeros)."""
+    bf16 once either way, 15 of 16 summands exact zeros). out_ref is the
+    (G, 1, H*D) block (tile-legal at every group size); rows are stored
+    per lane."""
     norm = acc / jnp.maximum(l, 1e-30)
     seg = _seg_tile(group * h, h, d)
     if group > 1:
-        out_ref[...] = jax.lax.dot_general(
+        res = jax.lax.dot_general(
             _sel_const(group, h), norm * seg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        for g in range(group):
+            out_ref[g] = res[g:g + 1, :]
     else:
-        out_ref[...] = jnp.sum(norm * seg, axis=0,
-                               keepdims=True).astype(out_ref.dtype)
+        out_ref[0] = jnp.sum(norm * seg, axis=0,
+                             keepdims=True).astype(out_ref.dtype)
 
 
-def _decode_attn_kernel(end_ref, qm_ref, pen_ref, *rest, num_heads,
+def _decode_attn_kernel(end_ref, qm_ref, pos_ref, *rest, num_heads,
                         head_dim, nb_total, quant, group, stats=False):
     """One (stream-group, cache-block) grid step of batched flash decode.
 
@@ -193,12 +212,12 @@ def _decode_attn_kernel(end_ref, qm_ref, pen_ref, *rest, num_heads,
     the int8 cache halved the DMA time.
 
     Block shapes: qm_ref (G*H, H*D) stacked seg-masked queries (built once
-    in XLA — rebuilding them per grid step cost real VPU time); pen_ref
-    (G, BS) 0/1 validity (precomputed in XLA from pos >= 0 — squeezed
-    per-block slice); k_ref/v_ref (G, BS, H*D); out_ref (G, H*D). Scratch
-    (persists across grid steps): m_s/l_s (G*H, 1) f32 running max /
-    normalizer, acc_s (G*H, H*D) f32 unnormalized per-head output,
-    logit_s (G*H, BS) f32 stacked logits/p staging.
+    in XLA — rebuilding them per grid step cost real VPU time); pos_ref
+    (G, NB, BS) whole stream rows (1.5 KB each); k_ref/v_ref (G, BS, H*D);
+    out_ref (G, 1, H*D). Scratch (persists across grid steps): m_s/l_s
+    (G*H, 1) f32 running max / normalizer, acc_s (G*H, H*D) f32
+    unnormalized per-head output, logit_s (G*H, BS) f32 stacked logits/p
+    staging, pen_s (G, BS) f32 staged slot validity.
 
     Everything is oriented so the per-slot mask adds LANE-wise ((., BS)
     logits): the transposed formulation needed a (1, BS) -> (BS, 1)
@@ -211,9 +230,9 @@ def _decode_attn_kernel(end_ref, qm_ref, pen_ref, *rest, num_heads,
         ks_ref = vs_ref = None
         k_ref, v_ref, out_ref, *tail = rest
     if stats:
-        st_ref, m_s, l_s, acc_s, logit_s = tail
+        st_ref, m_s, l_s, acc_s, logit_s, pen_s = tail
     else:
-        m_s, l_s, acc_s, logit_s = tail
+        m_s, l_s, acc_s, logit_s, pen_s = tail
     i = pl.program_id(1)
     bs = k_ref.shape[1]
     h, d = num_heads, head_dim
@@ -228,9 +247,9 @@ def _decode_attn_kernel(end_ref, qm_ref, pen_ref, *rest, num_heads,
 
     @pl.when(i < nb)
     def _():
-        _flash_main_block(i, qm_ref, pen_ref, ks_ref, vs_ref, k_ref, v_ref,
-                          m_s, l_s, acc_s, logit_s, h=h, d=d, group=group,
-                          quant=quant)
+        _flash_main_block(i, qm_ref, pos_ref, ks_ref, vs_ref, k_ref, v_ref,
+                          m_s, l_s, acc_s, logit_s, pen_s, h=h, d=d,
+                          group=group, quant=quant)
 
     @pl.when(i == nb_total - 1)
     def _():
@@ -271,9 +290,6 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
     # for lanes i in head j's segment, 0 elsewhere — stacked (B*H, H*D)
     eye = jnp.eye(h, dtype=q.dtype)
     qm = (eye[:, :, None] * q[:, None]).reshape(bsz * h, h * d)
-    # slot validity precomputed in XLA (one fused op per call): the kernel
-    # expands it to the stacked rows with an exact 0/1 MXU pass
-    pen01 = (pos >= 0).astype(jnp.float32).reshape(bsz, nb, block_size)
 
     def live(i, end_v):
         # clamp dead blocks onto the last live one: a revisited block
@@ -287,10 +303,9 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
     in_specs = [
         pl.BlockSpec((group * h, h * d), lambda b, i, e: (b, 0),
                      memory_space=pltpu.VMEM),      # qm (stacked)
-        pl.BlockSpec((group, None, block_size), lambda b, i, e: (b, i, 0),
-                     memory_space=pltpu.VMEM),      # pen01 (block slice)
+        row_spec,                                   # pos (whole rows)
     ]
-    operands = [qm, pen01]
+    operands = [qm, pos.reshape(bsz, nb, block_size)]
     if quant:
         in_specs += [row_spec, row_spec]            # k/v dequant scales
         operands += [k_scale.reshape(bsz, nb, block_size),
@@ -305,9 +320,9 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
     ]
     operands += [k_cache, v_cache]
 
-    out_specs = pl.BlockSpec((group, h * d), lambda b, i, e: (b, 0),
+    out_specs = pl.BlockSpec((group, 1, h * d), lambda b, i, e: (b, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((bsz, h * d), q.dtype)
+    out_shape = jax.ShapeDtypeStruct((bsz, 1, h * d), q.dtype)
     if stats:
         out_specs = [out_specs,
                      pl.BlockSpec((group * h, 2), lambda b, i, e: (b, 0),
@@ -326,6 +341,7 @@ def _decode_attention_batched(q, k_cache, v_cache, pos, end,
                 pltpu.VMEM((group * h, 1), jnp.float32),
                 pltpu.VMEM((group * h, h * d), jnp.float32),
                 pltpu.VMEM((group * h, block_size), jnp.float32),
+                pltpu.VMEM((group, block_size), jnp.float32),
             ],
         ),
         out_shape=out_shape,
@@ -540,20 +556,22 @@ def _insert_attn_kernel(ends_ref, cpos_ref, *rest, num_heads, head_dim,
     """
     st_ref = kc_out = vc_out = kso_ref = vso_ref = None
     if quant:
-        (ksn_ref, vsn_ref, qm_ref, pen_ref, ks_ref, vs_ref, kn_ref, vn_ref,
+        (ksn_ref, vsn_ref, qm_ref, pos_ref, ks_ref, vs_ref, kn_ref, vn_ref,
          k_ref, v_ref, out_ref, *tail) = rest
     else:
         ksn_ref = vsn_ref = ks_ref = vs_ref = None
-        (qm_ref, pen_ref, kn_ref, vn_ref, k_ref, v_ref,
+        (qm_ref, pos_ref, kn_ref, vn_ref, k_ref, v_ref,
          out_ref, *tail) = rest
     if "nocacheout" not in _ABLATE:
         kc_out, vc_out, *tail = tail
     if quant and "noscalerows" not in _ABLATE:
         kso_ref, vso_ref, *tail = tail
     if stats:
-        st_ref, m_s, l_s, acc_s, logit_s, col_s, kwin, vwin, sems = tail
+        (st_ref, m_s, l_s, acc_s, logit_s, pen_s, col_s, new_s, kwin, vwin,
+         sems) = tail
     else:
-        m_s, l_s, acc_s, logit_s, col_s, kwin, vwin, sems = tail
+        m_s, l_s, acc_s, logit_s, pen_s, col_s, new_s, kwin, vwin, sems = \
+            tail
     b = pl.program_id(0)
     i = pl.program_id(1)
     bs = k_ref.shape[1]
@@ -581,11 +599,9 @@ def _insert_attn_kernel(ends_ref, cpos_ref, *rest, num_heads, head_dim,
 
     @pl.when(i < nb)
     def _():
-        # pen01 already excludes the write slot (its bytes are pre-insert,
-        # stale in ring mode); the new row is merged analytically below
-        _flash_main_block(i, qm_ref, pen_ref, ks_ref, vs_ref, k_ref, v_ref,
-                          m_s, l_s, acc_s, logit_s, h=h, d=d, group=group,
-                          quant=quant)
+        _flash_main_block(i, qm_ref, pos_ref, ks_ref, vs_ref, k_ref, v_ref,
+                          m_s, l_s, acc_s, logit_s, pen_s, h=h, d=d,
+                          group=group, quant=quant, ws=ws)
 
     do_win = not ({"nowin", "nocacheout"} & _ABLATE)
 
@@ -599,9 +615,9 @@ def _insert_attn_kernel(ends_ref, cpos_ref, *rest, num_heads, head_dim,
         a_loc = (ws % bs) // win * win
         rowsel = (jax.lax.broadcasted_iota(jnp.int32, (win, h * d), 0) == r)
         for g in range(group):
-            kwin[g] = _win_select(rowsel, kn_ref[g:g + 1, :],
+            kwin[g] = _win_select(rowsel, kn_ref[g],
                                   k_ref[g, pl.ds(a_loc, win), :])
-            vwin[g] = _win_select(rowsel, vn_ref[g:g + 1, :],
+            vwin[g] = _win_select(rowsel, vn_ref[g],
                                   v_ref[g, pl.ds(a_loc, win), :])
         ck, cv = win_copies()
         ck.start()
@@ -627,8 +643,13 @@ def _insert_attn_kernel(ends_ref, cpos_ref, *rest, num_heads, head_dim,
     def _():
         scale = 1.0 / jnp.sqrt(jnp.float32(d))
         # ---- analytic merge of the new row, batched over the group -----
-        kn2 = kn_ref[...].astype(jnp.float32)                # (G, H*D)
-        vn2 = vn_ref[...].astype(jnp.float32)
+        # new rows staged per lane (the (G, 1, H*D) block keeps its trailing
+        # dims tile-legal at every group; a squeezed 2-D read would not be)
+        for g in range(group):
+            new_s[g:g + 1] = kn_ref[g].astype(jnp.float32)
+            new_s[group + g:group + g + 1] = vn_ref[g].astype(jnp.float32)
+        kn2 = new_s[0:group]                                 # (G, H*D)
+        vn2 = new_s[group:2 * group]
         if group > 1:
             rep = _rep_const(g_h, group)
             knf = jax.lax.dot_general(                       # (G*H, H*D)
@@ -720,11 +741,6 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
     qm = (eye[:, :, None] * q[:, None]).reshape(bsz * h, h * d)
     ends = jnp.stack([jnp.asarray(read_end, jnp.int32),
                       jnp.asarray(write_slot, jnp.int32)])
-    # slot validity precomputed in XLA: valid AND not the write slot (its
-    # bytes are pre-insert; the new row is merged analytically in-kernel)
-    sidx = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    pen01 = ((pos >= 0) & (sidx != jnp.asarray(write_slot, jnp.int32))
-             ).astype(jnp.float32).reshape(bsz, nb, block_size)
 
     def live(i, ends_v):
         last = jnp.maximum((ends_v[0] + block_size) // block_size - 1, 0)
@@ -733,7 +749,7 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
     row_spec = pl.BlockSpec((group, nb, block_size),
                             lambda b, i, *s: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    new_spec = pl.BlockSpec((group, None, h * d), lambda b, i, *s: (b, 0, 0),
+    new_spec = pl.BlockSpec((group, 1, h * d), lambda b, i, *s: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((group, block_size, h * d),
                            lambda b, i, *s: (b, live(i, s[0]), 0),
@@ -741,10 +757,9 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
     in_specs = [
         pl.BlockSpec((group * h, h * d), lambda b, i, *s: (b, 0),
                      memory_space=pltpu.VMEM),      # qm (stacked)
-        pl.BlockSpec((group, None, block_size), lambda b, i, *s: (b, i, 0),
-                     memory_space=pltpu.VMEM),      # pen01 (block slice)
+        row_spec,                                   # pos
     ]
-    operands = [qm, pen01]
+    operands = [qm, pos.reshape(bsz, nb, block_size)]
     scalars = [ends, jnp.asarray(cur_pos, jnp.int32)]
     if quant:
         scalars += [ks_new.astype(jnp.float32), vs_new.astype(jnp.float32)]
@@ -756,11 +771,11 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
                  k_cache, v_cache]
 
     out_specs = [
-        pl.BlockSpec((group, h * d), lambda b, i, *s: (b, 0),
+        pl.BlockSpec((group, 1, h * d), lambda b, i, *s: (b, 0, 0),
                      memory_space=pltpu.VMEM),      # attn out
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((bsz, h * d), q.dtype),
+        jax.ShapeDtypeStruct((bsz, 1, h * d), q.dtype),
     ]
     # operand numbering INCLUDES the scalar-prefetch args
     nsc = len(scalars)
@@ -803,7 +818,9 @@ def _decode_insert_attention_batched(q, k_new, v_new, cur_pos, k_cache,
                 pltpu.VMEM((group * h, 1), jnp.float32),
                 pltpu.VMEM((group * h, h * d), jnp.float32),
                 pltpu.VMEM((group * h, block_size), jnp.float32),
+                pltpu.VMEM((group, block_size), jnp.float32),
                 pltpu.VMEM((group * h, 1), jnp.float32),
+                pltpu.VMEM((2 * group, h * d), jnp.float32),
                 pltpu.VMEM((group, win, h * d), k_cache.dtype),
                 pltpu.VMEM((group, win, h * d), v_cache.dtype),
                 pltpu.SemaphoreType.DMA((2,)),

@@ -23,6 +23,10 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 384
 DT = sys.argv[3] if len(sys.argv) > 3 else "int8"
 MODE = sys.argv[4] if len(sys.argv) > 4 else "insert"
+# "thread": caches chain through the reps (the serving scan's dataflow) so
+# XLA can honor the kernel's input_output_aliases in place; "insert"
+# re-reads the same cache values every rep, which FORCES a defensive copy
+# of both caches per call (the r5 ablation found exactly that 2.4x).
 H, D = 16, 64
 HD = H * D
 L = 6          # independent cache sets cycled across calls
@@ -65,14 +69,14 @@ PEAK = 819e9
 
 def run(q, *flat):
     per = 2 if DT == "bf16" else 4
-    ss = [tuple(flat[i * per:(i + 1) * per]) for i in range(L)]
+    ss = [list(flat[i * per:(i + 1) * per]) for i in range(L)]
     for rep in range(R):
         if DT == "bf16":
-            k, v = ss[rep % L]
+            k, v = ss[rep % L][:2]
             ks = vs = None
         else:
             k, v, ks, vs = ss[rep % L]
-        if MODE == "decode":
+        if MODE in ("decode",):
             if DT == "bf16":
                 out = (pa._decode_attention_batched(
                     q, k, v, pos, read_end, block_size=S,
@@ -90,9 +94,17 @@ def run(q, *flat):
                 q, k_new, v_new, cur_pos, k, v, pos, read_end,
                 write_slot, ks_new=ksn, vs_new=vsn, k_scale=ks,
                 v_scale=vs, block_size=S, interpret=False)
+        if MODE == "thread" and len(out) > 2:
+            ss[rep % L][0], ss[rep % L][1] = out[1], out[2]
+            if DT != "bf16" and len(out) > 4:
+                ss[rep % L][2], ss[rep % L][3] = out[3], out[4]
         # chain: next q depends on this attention output
         q = (q + 0.001 * out[0].reshape(B, H, D).astype(jnp.float32)
              ).astype(jnp.bfloat16)
+    if MODE == "thread":
+        # keep the final caches live so the chain isn't dead-code-eliminated
+        probe = sum(s0[0][0, 0, :1].astype(jnp.float32).sum() for s0 in ss)
+        q = q + 1e-12 * probe.astype(jnp.float32)
     return q
 
 
