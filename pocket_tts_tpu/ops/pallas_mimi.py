@@ -123,6 +123,27 @@ def _kernel(off_ref, starts_ref, *rest, t, num_heads, head_dim,
                                                           pl.ds(slot0, t)],
                                   sems.at[g, 1]).start()
 
+    # ring-mask algebra shared by every lane in the group (only the
+    # per-stream `start` term differs): hoisted out of the g-loop — at
+    # batch these (TH, cap) iota/compare passes were re-issued per lane
+    # and per-lane VPU passes are additive on v5e (r5 floor micro)
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (th, cap), 1)
+    pq = off + (jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0) // h)
+    # pre-insert ring positions (ring_positions(off) semantics)
+    last = off - 1
+    end_index = last % cap
+    delta = sidx - end_index
+    pk = last + delta - jnp.where(delta > 0, cap, 0)
+    written = sidx < off
+    # slots being overwritten THIS frame hold stale bytes: mask them —
+    # their replacement rows are attended analytically below
+    overwrite = ((sidx - slot0) % cap) < t
+    ok_shared = written & ~overwrite & (pq >= pk) & (pq - pk < context)
+    pen_shared = jnp.where(ok_shared, 0.0, NEG_INF)
+    # causal-in-block penalty for the new rows (start-independent)
+    pj_new = off + jax.lax.broadcasted_iota(jnp.int32, (th, t), 1)
+    pen_new = jnp.where(pq >= pj_new, 0.0, NEG_INF)
+
     for g in range(group):
         start = starts_ref[b * group + g]
         q = q_ref[g]                                       # (T, H*D) bf16
@@ -141,28 +162,14 @@ def _kernel(off_ref, starts_ref, *rest, t, num_heads, head_dim,
             rsel, q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * seg).astype(q.dtype)
 
-        # absolute query positions per row: off + row // H
-        pq = off + (jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0) // h)
-
         # ---- old cache piece -------------------------------------------
         logits_o = jax.lax.dot_general(
             qm, kc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale    # (TH, cap)
         if quant:
             logits_o = logits_o * ks_ref[g]                # (1, cap) scales
-        sidx = jax.lax.broadcasted_iota(jnp.int32, (th, cap), 1)
-        # pre-insert ring positions (ring_positions(off) semantics)
-        last = off - 1
-        end_index = last % cap
-        delta = sidx - end_index
-        pk = last + delta - jnp.where(delta > 0, cap, 0)
-        written = sidx < off
-        # slots being overwritten THIS frame hold stale bytes: mask them —
-        # their replacement rows are attended analytically below
-        overwrite = ((sidx - slot0) % cap) < t
-        ok = (written & ~overwrite & (pk >= start) & (pq >= pk)
-              & (pq - pk < context))
-        logits_o = logits_o + jnp.where(ok, 0.0, NEG_INF)
+        logits_o = (logits_o + pen_shared
+                    + jnp.where(pk >= start, 0.0, NEG_INF))
 
         # ---- new rows piece (positions off + j, causal in-block) --------
         logits_n = jax.lax.dot_general(
@@ -170,8 +177,7 @@ def _kernel(off_ref, starts_ref, *rest, t, num_heads, head_dim,
             preferred_element_type=jnp.float32) * scale    # (TH, T)
         if quant:
             logits_n = logits_n * ksn_ref[g]               # (1, T) scales
-        pj = off + jax.lax.broadcasted_iota(jnp.int32, (th, t), 1)
-        logits_n = logits_n + jnp.where(pq >= pj, 0.0, NEG_INF)
+        logits_n = logits_n + pen_new
 
         # ---- single-step flash merge -----------------------------------
         m = jnp.maximum(jnp.max(logits_o, axis=1, keepdims=True),

@@ -44,6 +44,17 @@ params, cfg0 = random_params(DEFAULT_CONFIG, seed=0, dtype=dtype)
 params_q4 = quantize_params(params, bits=4)
 cfg = mesh_cfg(dataclasses.replace(cfg0, backbone=dataclasses.replace(
     cfg0.backbone, quantize_kv=True)), None)
+# A/B knobs: force the XLA fallbacks for the mimi ring kernel / seanet
+# megakernel (QS_MIMI_PALLAS=0 / QS_SEANET_PALLAS=0)
+import os  # noqa: E402
+if os.environ.get("QS_MIMI_PALLAS", "1") == "0":
+    cfg = dataclasses.replace(cfg, mimi=dataclasses.replace(
+        cfg.mimi, transformer=dataclasses.replace(
+            cfg.mimi.transformer, use_pallas_attn=False)))
+if os.environ.get("QS_SEANET_PALLAS", "1") == "0":
+    cfg = dataclasses.replace(cfg, mimi=dataclasses.replace(
+        cfg.mimi, seanet=dataclasses.replace(
+            cfg.mimi.seanet, use_pallas=False)))
 
 tok = MockTokenizer(cfg.lut.n_bins)
 text, _ = prepare_text_prompt(
@@ -109,6 +120,48 @@ if "backbone" in STAGES:
         return (flow, lat)
 
     time_scan("backbone+flow", bb_body, (flow0, lat0))
+
+if "mimitr" in STAGES or "seanet" in STAGES:
+    from pocket_tts_tpu.models import mimi_transformer, seanet  # noqa: E402
+    mimi0 = sts.mimi
+    axes_m = _axes_like(sts).mimi
+    k, s_ = cfg.mimi.upsample_kernel, cfg.mimi.upsample_stride
+    emb0 = jnp.asarray(
+        np.random.RandomState(0).randn(B, k - s_, cfg.mimi.transformer.
+                                       d_model) * 0.1, dtype)
+
+    if "mimitr" in STAGES:
+        def tr_body(carry, i):
+            tst, emb = carry
+
+            def one(t, e):
+                t2, z = mimi_transformer.forward(
+                    params_q4["mimi"]["decoder_transformer"],
+                    cfg.mimi.transformer, t, e, cfg.gelu_approx)
+                return t2, z
+
+            tst, z = jax.vmap(one, in_axes=(axes_m.transformer, 0),
+                              out_axes=(axes_m.transformer, 0))(tst, emb)
+            return (tst, emb + 1e-9 * z.astype(emb.dtype))
+
+        time_scan("mimi-transformer", tr_body,
+                  (mimi0.transformer, emb0))
+
+    if "seanet" in STAGES:
+        def sn_body(carry, i):
+            sst, z = carry
+
+            def one(st_, zz):
+                st2, pcm = seanet.forward(params_q4["mimi"]["decoder"],
+                                          cfg.mimi.seanet, st_, zz)
+                return st2, pcm
+
+            sst, pcm = jax.vmap(one, in_axes=(axes_m.seanet, 0),
+                                out_axes=(axes_m.seanet, 0))(sst, z)
+            return (sst, z + 1e-9 * jnp.mean(pcm, axis=(1, 2),
+                                             keepdims=False)[:, None, None])
+
+        time_scan("seanet", sn_body, (mimi0.seanet, emb0))
 
 if "mimi" in STAGES:
     mimi0 = sts.mimi
