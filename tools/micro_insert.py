@@ -30,7 +30,7 @@ MODE = sys.argv[4] if len(sys.argv) > 4 else "insert"
 H, D = 16, 64
 HD = H * D
 L = 6          # independent cache sets cycled across calls
-R = 24         # chained calls per rep
+R = int(__import__("os").environ.get("MI_R", "24"))  # chained calls per rep
 
 rng = np.random.RandomState(0)
 
